@@ -1,0 +1,184 @@
+"""Configuration dataclasses with JSON round-trip.
+
+Mirrors the reference config system (visual_slam/config.py:8-112) with the
+same component split and gating thresholds, plus TPU-specific knobs (feature
+capacity, RANSAC hypothesis budgets, BA window buckets) that control the
+static shapes everything compiles against.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Dict
+
+
+@dataclass
+class CameraConfig:
+    """(reference config.py:8-14)"""
+
+    sensor_type: str = "monocular"  # monocular | stereo | rgbd
+    width: int = 0
+    height: int = 0
+    fps: float = 30.0
+
+
+@dataclass
+class FeatureConfig:
+    """Detector/matcher selection and capacity (reference config.py:17-23).
+
+    ``num_features`` is the static per-frame feature capacity: the detector
+    always returns exactly this many slots (padded + masked), which is what
+    lets every downstream stage compile once.
+    """
+
+    detector_name: str = "fast_orb"  # fast_orb | fast_orb_anms | shi_tomasi_orb
+    matcher_name: str = "bf_hamming"
+    num_features: int = 1000
+    fast_threshold: float = 20.0
+    num_pyramid_levels: int = 4
+    scale_factor: float = 1.2
+    grid_cells: int = 8  # spatial-balance grid (replaces ANMS/grid filters)
+    detector_params: Dict[str, Any] = field(default_factory=dict)
+    matcher_params: Dict[str, Any] = field(default_factory=dict)
+    filter_params: Dict[str, Any] = field(default_factory=dict)
+
+
+@dataclass
+class InitializationConfig:
+    """(reference config.py:25-28; max depth hardcoded 50.0 at
+    initializer.py:243-255 — here it is a config field)"""
+
+    min_depth: float = 0.1
+    max_depth: float = 50.0
+    min_inliers: int = 100
+    min_parallax_deg: float = 1.0
+    min_dt: float = 0.0
+    essential_hypotheses: int = 256
+    essential_threshold: float = 3e-3
+    buffer_frames: int = 5
+
+
+@dataclass
+class TrackingConfig:
+    """(reference config.py:30-42)"""
+
+    min_inliers: int = 10
+    min_parallax_deg: float = 1.0
+    keyframe_interval: int = 5
+    min_inlier_ratio: float = 0.25
+    max_reprojection_error: float = 1.0
+    use_ransac: bool = True
+    check_reprojection_error: bool = False
+    # Keyframe decision thresholds (reference tracking.py:518-580)
+    kf_min_translation: float = 2.0
+    kf_min_rotation_deg: float = 10.0
+    kf_min_matches: int = 30
+    # PnP budget
+    pnp_hypotheses: int = 256
+    pnp_threshold_px: float = 3.0
+    match_ratio: float = 0.75
+
+
+@dataclass
+class LocalMappingConfig:
+    """(reference config.py:44-50)"""
+
+    run_timeout: float = 0.1
+    max_neighbors: int = 2
+    min_depth: float = 0.1
+    max_depth: float = 50.0
+    min_parallax_deg: float = 0.5
+
+
+@dataclass
+class OptimizationConfig:
+    """BA back-end (reference config.py:56-61). lr/batch_size kept for the
+    gradient-descent fallback; the primary solver is LM+Schur."""
+
+    solver: str = "lm_schur"  # lm_schur | adam
+    n_iter: int = 20
+    lr: float = 1e-3
+    batch_size: int = 1000
+    huber_delta: float = 5.0
+    window_size: int = 8  # keyframes per local BA window (padded bucket)
+    max_points: int = 4096  # landmark capacity per window (padded bucket)
+    lm_lambda0: float = 1e-3
+
+
+@dataclass
+class LoopClosingConfig:
+    """(reference config.py:52-53 — empty placeholder)"""
+
+    enabled: bool = False
+
+
+@dataclass
+class MapConfig:
+    """(reference config.py:63-65)"""
+
+    max_frames: int = 5
+
+
+@dataclass
+class AdditionalParamsConfig:
+    """(reference config.py:67-70)"""
+
+    ransac_threshold: float = 3e-3
+    ransac_prob: float = 0.999
+
+
+@dataclass
+class Config:
+    """Aggregate configuration (reference config.py:72-109)."""
+
+    camera: CameraConfig = field(default_factory=CameraConfig)
+    feature: FeatureConfig = field(default_factory=FeatureConfig)
+    initialization: InitializationConfig = field(default_factory=InitializationConfig)
+    tracking: TrackingConfig = field(default_factory=TrackingConfig)
+    local_mapping: LocalMappingConfig = field(default_factory=LocalMappingConfig)
+    optimization: OptimizationConfig = field(default_factory=OptimizationConfig)
+    loop_closing: LoopClosingConfig = field(default_factory=LoopClosingConfig)
+    map: MapConfig = field(default_factory=MapConfig)
+    additional_params: AdditionalParamsConfig = field(default_factory=AdditionalParamsConfig)
+    debug: bool = False
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    def save(self, path: str | Path) -> None:
+        Path(path).write_text(json.dumps(self.to_dict(), indent=2))
+
+    @classmethod
+    def load(cls, path: str | Path) -> "Config":
+        data = json.loads(Path(path).read_text())
+        return cls.from_dict(data)
+
+    @classmethod
+    def from_dict(cls, data: dict) -> "Config":
+        kwargs = {}
+        for f in dataclasses.fields(cls):
+            if f.name not in data:
+                continue
+            val = data[f.name]
+            if dataclasses.is_dataclass(f.type) or f.name in _SUBCONFIGS:
+                sub = _SUBCONFIGS[f.name]
+                known = {x.name for x in dataclasses.fields(sub)}
+                kwargs[f.name] = sub(**{k: v for k, v in val.items() if k in known})
+            else:
+                kwargs[f.name] = val
+        return cls(**kwargs)
+
+
+_SUBCONFIGS = {
+    "camera": CameraConfig,
+    "feature": FeatureConfig,
+    "initialization": InitializationConfig,
+    "tracking": TrackingConfig,
+    "local_mapping": LocalMappingConfig,
+    "optimization": OptimizationConfig,
+    "loop_closing": LoopClosingConfig,
+    "map": MapConfig,
+    "additional_params": AdditionalParamsConfig,
+}
