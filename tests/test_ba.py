@@ -1,0 +1,116 @@
+import numpy as np
+import jax.numpy as jnp
+
+from visual_slam_tpu.backend.ba import (
+    BAProblem,
+    bundle_adjust,
+    bundle_adjust_robust,
+    mean_reprojection_error,
+)
+from synthetic import default_K, make_scene
+
+
+def make_ba_problem(rng, W=4, M=120, noise_px=0.3, perturb=True, n_fixed=1,
+                    pose_noise=0.02, point_noise=0.05):
+    """W cameras looking at a cloud of M points; observations in normalized
+    coords; optionally perturb initial poses/points away from GT."""
+    from scipy.spatial.transform import Rotation
+
+    f = 500.0
+    pts = np.stack([
+        rng.uniform(-4, 4, M),
+        rng.uniform(-3, 3, M),
+        rng.uniform(8, 16, M),
+    ], axis=1)
+    T_gt = np.zeros((W, 4, 4))
+    for w in range(W):
+        ang = rng.uniform(-0.03, 0.03, 3)
+        R = Rotation.from_rotvec(ang).as_matrix()
+        C = np.array([w * 0.8, 0.1 * w, 0.0])
+        T_gt[w] = np.eye(4)
+        T_gt[w, :3, :3] = R
+        T_gt[w, :3, 3] = -R @ C
+    uv = np.zeros((M, W, 2))
+    valid = np.zeros((M, W), bool)
+    for w in range(W):
+        pc = pts @ T_gt[w, :3, :3].T + T_gt[w, :3, 3]
+        xy = pc[:, :2] / pc[:, 2:3]
+        uv[:, w] = xy + rng.normal(0, noise_px / f, (M, 2))
+        valid[:, w] = pc[:, 2] > 0.5
+    T0 = T_gt.copy()
+    pts0 = pts.copy()
+    if perturb:
+        for w in range(n_fixed, W):
+            dang = rng.normal(0, pose_noise, 3)
+            dR = Rotation.from_rotvec(dang).as_matrix()
+            T0[w, :3, :3] = dR @ T0[w, :3, :3]
+            T0[w, :3, 3] += rng.normal(0, pose_noise * 2, 3)
+        pts0 = pts + rng.normal(0, point_noise, pts.shape)
+    fixed = np.zeros(W, bool)
+    fixed[:n_fixed] = True
+    problem = BAProblem(
+        T_w2c=jnp.asarray(T0, jnp.float32),
+        points=jnp.asarray(pts0, jnp.float32),
+        uv=jnp.asarray(uv, jnp.float32),
+        obs_valid=jnp.asarray(valid),
+        pose_valid=jnp.ones(W, bool),
+        pose_fixed=jnp.asarray(fixed),
+    )
+    return problem, T_gt, pts, f
+
+
+def test_ba_reduces_cost(rng):
+    problem, T_gt, pts_gt, f = make_ba_problem(rng)
+    T, X, info = bundle_adjust(problem, n_iter=15, huber=5.0 / f)
+    assert float(info["cost"]) < float(info["cost0"]) * 0.1
+    err_px = float(mean_reprojection_error(T, X, problem.uv, problem.obs_valid, focal=f))
+    assert err_px < 0.6  # ~ injected noise level
+
+
+def test_ba_recovers_poses_two_fixed(rng):
+    """With two gauge-fixed cameras (kills scale freedom) and tiny noise, LM
+    should recover GT poses and points."""
+    problem, T_gt, pts_gt, f = make_ba_problem(rng, noise_px=0.05, n_fixed=2)
+    T, X, info = bundle_adjust(problem, n_iter=25, huber=5.0 / f)
+    T = np.asarray(T)
+    X = np.asarray(X)
+    np.testing.assert_allclose(T[:, :3, :3], T_gt[:, :3, :3], atol=2e-3)
+    np.testing.assert_allclose(T[:, :3, 3], T_gt[:, :3, 3], atol=1e-2)
+    np.testing.assert_allclose(X, pts_gt, atol=5e-2)
+
+
+def test_ba_fixed_pose_untouched(rng):
+    problem, T_gt, pts_gt, f = make_ba_problem(rng)
+    T, X, info = bundle_adjust(problem, n_iter=10, huber=5.0 / f)
+    np.testing.assert_allclose(np.asarray(T[0]), T_gt[0], atol=1e-7)
+
+
+def test_ba_robust_to_outlier_observations(rng):
+    problem, T_gt, pts_gt, f = make_ba_problem(rng, noise_px=0.2, n_fixed=2)
+    uv = np.asarray(problem.uv).copy()
+    # corrupt 10% of observations badly
+    n_bad = len(uv) // 10
+    uv[:n_bad, :, :] += rng.uniform(-0.2, 0.2, (n_bad, uv.shape[1], 2))
+    problem = problem._replace(uv=jnp.asarray(uv))
+    T, X, info = bundle_adjust_robust(problem, n_iter=12, n_iter2=12, huber=3.0 / f)
+    T = np.asarray(T)
+    # poses should still be near GT: Huber + interim outlier trim
+    assert int(info["n_trimmed"]) > 0
+    np.testing.assert_allclose(T[:, :3, :3], T_gt[:, :3, :3], atol=5e-3)
+    np.testing.assert_allclose(T[:, :3, 3], T_gt[:, :3, 3], atol=3e-2)
+
+
+def test_ba_handles_empty_slots(rng):
+    """Padded (invalid) poses/points must not break the solve."""
+    problem, T_gt, pts_gt, f = make_ba_problem(rng, W=4)
+    pose_valid = np.array([True, True, True, False])
+    obs_valid = np.asarray(problem.obs_valid).copy()
+    obs_valid[:, 3] = False
+    obs_valid[-20:, :] = False  # some dead landmark slots
+    problem = problem._replace(
+        pose_valid=jnp.asarray(pose_valid), obs_valid=jnp.asarray(obs_valid)
+    )
+    T, X, info = bundle_adjust(problem, n_iter=10, huber=5.0 / f)
+    assert np.isfinite(np.asarray(T)).all()
+    assert np.isfinite(np.asarray(X)).all()
+    assert float(info["cost"]) <= float(info["cost0"])

@@ -1,0 +1,259 @@
+"""Levenberg-Marquardt bundle adjustment with Schur-complement landmark
+elimination, pure JAX — the centerpiece of the TPU back-end.
+
+TPU-native replacement for the reference's TorchOptimizer
+(visual_slam/optimization/torch_optimizer.py): where the reference runs Adam
+with a per-observation Python loop (torch_optimizer.py:148-178 — its
+documented bottleneck, docs/article.md:675), this solver batches ALL
+observations as a dense (M points x W poses) grid and runs a damped LM loop
+whose every step is fixed-shape linear algebra:
+
+  * residuals + analytic Jacobians over the (M, W) grid in one shot,
+  * Huber IRLS robustification (reference huber_delta semantics),
+  * normal-equation blocks via einsum (U: per-pose 6x6, V: per-point 3x3,
+    Y: per-obs 6x3),
+  * Schur complement S = U - Y V^-1 Y^T reducing to a (6W, 6W) dense solve,
+  * landmark back-substitution with batched 3x3 inverses,
+  * gain-ratio accept/reject with adaptive damping, fixed iteration count.
+
+Gauge fixing matches the reference (first keyframe frozen,
+torch_optimizer.py:54-57) via a ``pose_fixed`` mask.
+
+Observations are in *normalized* image coordinates (pixels premultiplied by
+K^-1), so intrinsics never enter the solver; thresholds in pixels are divided
+by the focal length at the call site.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.lie import so3_exp
+
+_EPS = 1e-9
+
+
+class BAProblem(NamedTuple):
+    """Fixed-capacity bundle-adjustment window.
+
+    The dense (M, W) observation grid holds at most one observation per
+    (landmark, keyframe) pair — exactly the SLAM structure (a keypoint index
+    per KF per map point, reference observation.py:4-100).
+    """
+
+    T_w2c: jnp.ndarray  # (W, 4, 4) keyframe poses, world -> camera
+    points: jnp.ndarray  # (M, 3) landmark positions (world)
+    uv: jnp.ndarray  # (M, W, 2) normalized observations
+    obs_valid: jnp.ndarray  # (M, W) bool
+    pose_valid: jnp.ndarray  # (W,) bool — slot in use
+    pose_fixed: jnp.ndarray  # (W,) bool — gauge-frozen (e.g. first KF)
+
+    @property
+    def n_poses(self) -> int:
+        return self.T_w2c.shape[0]
+
+    @property
+    def n_points(self) -> int:
+        return self.points.shape[0]
+
+
+def _residuals_and_jacobians(T_w2c, points, uv, w):
+    """Residuals r (M, W, 2), pose Jacobians Jp (M, W, 2, 6) for the left
+    se(3) perturbation, point Jacobians Jx (M, W, 2, 3), and depth mask."""
+    R = T_w2c[:, :3, :3]  # (W, 3, 3)
+    t = T_w2c[:, :3, 3]  # (W, 3)
+    # Camera-frame points: (M, W, 3)
+    pc = jnp.einsum("wab,mb->mwa", R, points) + t[None]
+    x, y, z = pc[..., 0], pc[..., 1], pc[..., 2]
+    zs = jnp.where(jnp.abs(z) < _EPS, _EPS, z)
+    inv_z = 1.0 / zs
+    u = x * inv_z
+    v = y * inv_z
+    r = jnp.stack([u, v], axis=-1) - uv  # (M, W, 2)
+    zero = jnp.zeros_like(u)
+    # d(proj)/d xi with xi = (rho, phi), left perturbation T <- exp(xi) T.
+    Ju = jnp.stack([inv_z, zero, -u * inv_z, -u * v, 1.0 + u * u, -v], axis=-1)
+    Jv = jnp.stack([zero, inv_z, -v * inv_z, -(1.0 + v * v), u * v, u], axis=-1)
+    Jp = jnp.stack([Ju, Jv], axis=-2)  # (M, W, 2, 6)
+    # d(proj)/d pc @ d pc / dX = A @ R: A = [[1/z,0,-x/z^2],[0,1/z,-y/z^2]]
+    A = jnp.stack(
+        [
+            jnp.stack([inv_z, zero, -u * inv_z], axis=-1),
+            jnp.stack([zero, inv_z, -v * inv_z], axis=-1),
+        ],
+        axis=-2,
+    )  # (M, W, 2, 3)
+    Jx = jnp.einsum("mwab,wbc->mwac", A, R)  # (M, W, 2, 3)
+    in_front = z > _EPS
+    return r, Jp, Jx, in_front
+
+
+def _robust_weights(r, huber):
+    """Huber IRLS weights from residual norms (M, W)."""
+    rn = jnp.linalg.norm(r, axis=-1)
+    return jnp.where(rn <= huber, 1.0, huber / jnp.maximum(rn, _EPS))
+
+
+def _cost(r, w_obs, huber):
+    """Total robust (Huber) cost. r: (M, W, 2), w_obs: (M, W)."""
+    rn2 = jnp.sum(r * r, axis=-1)
+    rn = jnp.sqrt(rn2 + _EPS)
+    quad = 0.5 * rn2
+    lin = huber * (rn - 0.5 * huber)
+    rho = jnp.where(rn <= huber, quad, lin)
+    return jnp.sum(rho * w_obs)
+
+
+def _solve_step(T_w2c, points, uv, w_obs, pose_free, lam, huber):
+    """One LM linear solve: returns (dxi (W, 6), dX (M, 3))."""
+    M, W = uv.shape[:2]
+    r, Jp, Jx, in_front = _residuals_and_jacobians(T_w2c, points, uv, w_obs > 0)
+    w = w_obs * _robust_weights(r, huber) * in_front  # (M, W)
+    # Zero pose Jacobians of fixed/invalid poses (gauge).
+    Jp = Jp * pose_free[None, :, None, None]
+
+    # Normal-equation blocks.
+    U = jnp.einsum("mwai,mw,mwaj->wij", Jp, w, Jp)  # (W, 6, 6)
+    V = jnp.einsum("mwai,mw,mwaj->mij", Jx, w, Jx)  # (M, 3, 3)
+    Y = jnp.einsum("mwai,mw,mwaj->mwij", Jp, w, Jx)  # (M, W, 6, 3)
+    gp = jnp.einsum("mwai,mw,mwa->wi", Jp, w, r)  # (W, 6)
+    gx = jnp.einsum("mwai,mw,mwa->mi", Jx, w, r)  # (M, 3)
+
+    # Damp.
+    U = U + lam * jnp.eye(6)[None]
+    V = V + lam * jnp.eye(3)[None]
+    Vinv = jnp.linalg.inv(V)  # batched 3x3
+
+    # Schur complement on landmarks.
+    T_blk = jnp.einsum("mwij,mjk->mwik", Y, Vinv)  # (M, W, 6, 3)
+    S_cross = jnp.einsum("muik,mvjk->uivj", T_blk, Y)  # (W, 6, W, 6)
+    S = jnp.zeros((W, 6, W, 6)).at[jnp.arange(W), :, jnp.arange(W), :].add(U) - S_cross
+    b = gp - jnp.einsum("mwik,mk->wi", T_blk, gx)  # (W, 6)
+
+    # Fixed/invalid pose slots: identity rows/cols, zero rhs.
+    free = pose_free  # (W,)
+    S = S * free[:, None, None, None] * free[None, None, :, None]
+    S = S.at[jnp.arange(W), :, jnp.arange(W), :].add(
+        jnp.eye(6)[None] * (1.0 - free)[:, None, None]
+    )
+    b = b * free[:, None]
+
+    Sd = S.reshape(W * 6, W * 6)
+    dxi = -jnp.linalg.solve(Sd, b.reshape(W * 6)).reshape(W, 6)
+    # Back-substitute landmarks: dX = -Vinv (gx + Y^T dxi_summed)
+    YtdP = jnp.einsum("mwij,wi->mj", Y, dxi)  # (M, 3)
+    dX = -jnp.einsum("mij,mj->mi", Vinv, gx + YtdP)
+    return dxi, dX
+
+
+def _apply_step(T_w2c, points, dxi, dX):
+    dR = so3_exp(dxi[:, 3:])  # (W, 3, 3)
+    R = T_w2c[:, :3, :3]
+    t = T_w2c[:, :3, 3]
+    R_new = dR @ R
+    t_new = jnp.einsum("wij,wj->wi", dR, t) + dxi[:, :3]
+    T_new = T_w2c.at[:, :3, :3].set(R_new).at[:, :3, 3].set(t_new)
+    return T_new, points + dX
+
+
+@partial(jax.jit, static_argnames=("n_iter",))
+def bundle_adjust(
+    problem: BAProblem,
+    n_iter: int = 20,
+    huber: float = 5e-3,
+    lam0: float = 1e-3,
+) -> tuple[jnp.ndarray, jnp.ndarray, dict]:
+    """Run the damped LM loop. Returns (T_w2c', points', info).
+
+    ``huber`` is in normalized-coordinate units (pixels / focal). The
+    iteration count is static; accept/reject logic is branch-free selects,
+    mirroring classic LM: lambda shrinks x0.5 on improvement, grows x4 on a
+    rejected step.
+    """
+    w_obs = (problem.obs_valid).astype(jnp.float32)
+    pose_free = (
+        problem.pose_valid & ~problem.pose_fixed
+    ).astype(jnp.float32)
+
+    def cost_of(T, X):
+        r, _, _, in_front = _residuals_and_jacobians(T, X, problem.uv, w_obs > 0)
+        return _cost(r, w_obs * in_front, huber)
+
+    def body(carry, _):
+        T, X, lam, c = carry
+        dxi, dX = _solve_step(T, X, problem.uv, w_obs, pose_free, lam, huber)
+        T_new, X_new = _apply_step(T, X, dxi, dX)
+        c_new = cost_of(T_new, X_new)
+        accept = c_new < c
+        T = jnp.where(accept, T_new, T)
+        X = jnp.where(accept, X_new, X)
+        c = jnp.where(accept, c_new, c)
+        lam = jnp.where(accept, lam * 0.5, lam * 4.0)
+        lam = jnp.clip(lam, 1e-9, 1e6)
+        return (T, X, lam, c), c
+
+    c0 = cost_of(problem.T_w2c, problem.points)
+    (T, X, lam, c), cs = jax.lax.scan(
+        body, (problem.T_w2c, problem.points, jnp.asarray(lam0), c0), None, length=n_iter
+    )
+    info = {"cost0": c0, "cost": c, "costs": cs, "lambda": lam}
+    return T, X, info
+
+
+def residual_norms(
+    T_w2c: jnp.ndarray, points: jnp.ndarray, uv: jnp.ndarray, obs_valid: jnp.ndarray
+) -> jnp.ndarray:
+    """Per-observation reprojection error norms (M, W) in normalized coords;
+    invalid/behind-camera observations get +inf."""
+    r, _, _, in_front = _residuals_and_jacobians(T_w2c, points, uv, obs_valid)
+    rn = jnp.linalg.norm(r, axis=-1)
+    return jnp.where(obs_valid & in_front, rn, jnp.inf)
+
+
+@partial(jax.jit, static_argnames=("n_iter", "n_iter2"))
+def bundle_adjust_robust(
+    problem: BAProblem,
+    n_iter: int = 10,
+    n_iter2: int = 10,
+    huber: float = 5e-3,
+    lam0: float = 1e-3,
+    trim_factor: float = 3.0,
+) -> tuple[jnp.ndarray, jnp.ndarray, dict]:
+    """Two-stage BA with interim outlier gating (the ORB-SLAM local-BA
+    pattern): robust solve, drop observations with residual >
+    ``trim_factor * huber``, re-solve on the trimmed set.
+
+    Returns (T, X, info) where info['obs_kept'] is the post-trim mask.
+    """
+    T, X, info1 = bundle_adjust(problem, n_iter=n_iter, huber=huber, lam0=lam0)
+    rn = residual_norms(T, X, problem.uv, problem.obs_valid)
+    kept = problem.obs_valid & (rn < trim_factor * huber)
+    problem2 = problem._replace(T_w2c=T, points=X, obs_valid=kept)
+    T, X, info2 = bundle_adjust(problem2, n_iter=n_iter2, huber=huber, lam0=lam0)
+    info = {
+        "cost0": info1["cost0"],
+        "cost": info2["cost"],
+        "obs_kept": kept,
+        "n_trimmed": jnp.sum(problem.obs_valid) - jnp.sum(kept),
+    }
+    return T, X, info
+
+
+def mean_reprojection_error(
+    T_w2c: jnp.ndarray,
+    points: jnp.ndarray,
+    uv: jnp.ndarray,
+    obs_valid: jnp.ndarray,
+    focal: float = 1.0,
+) -> jnp.ndarray:
+    """Masked mean reprojection error over the window, in pixels if ``focal``
+    is the focal length (reference Map.compute_mean_reprojection_error,
+    map.py:97-141)."""
+    r, _, _, in_front = _residuals_and_jacobians(T_w2c, points, uv, obs_valid)
+    rn = jnp.linalg.norm(r, axis=-1) * focal
+    w = obs_valid & in_front
+    n = jnp.maximum(jnp.sum(w), 1)
+    return jnp.sum(jnp.where(w, rn, 0.0)) / n
