@@ -1,0 +1,88 @@
+"""End-to-end SLAM smoke tests on a rendered synthetic sequence
+(SURVEY.md §4: the 'fake camera' replaces the missing dataset fixture)."""
+import numpy as np
+import pytest
+
+from visual_slam_tpu.camera import PinholeCamera
+from visual_slam_tpu.config import Config
+from visual_slam_tpu.slam import SLAM
+from visual_slam_tpu.state import State
+from visual_slam_tpu.utils.metrics import ate_rmse, trajectory_from_keyframes
+
+from render import render_sequence
+
+
+def small_config():
+    cfg = Config()
+    cfg.feature.num_features = 384
+    cfg.feature.num_pyramid_levels = 2
+    cfg.feature.fast_threshold = 12.0
+    cfg.feature.grid_cells = 4
+    cfg.initialization.min_inliers = 40
+    cfg.initialization.min_parallax_deg = 0.5
+    cfg.initialization.essential_hypotheses = 128
+    cfg.tracking.min_inliers = 10
+    cfg.tracking.keyframe_interval = 2
+    cfg.tracking.kf_min_matches = 25
+    cfg.tracking.pnp_hypotheses = 128
+    cfg.optimization.n_iter = 12
+    cfg.optimization.window_size = 4
+    cfg.local_mapping.max_neighbors = 2
+    cfg.local_mapping.min_parallax_deg = 0.3
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def slam_run():
+    rng = np.random.default_rng(42)
+    frames, Ts_gt, K, world = render_sequence(rng, n_frames=12, step=0.35)
+    cfg = small_config()
+    cam = PinholeCamera(width=frames[0].shape[1], height=frames[0].shape[0], K=K)
+    slam = SLAM(cam, cfg)
+    infos = []
+    for i, img in enumerate(frames):
+        infos.append(slam.track([img], timestamp=i * 0.1))
+    slam.shutdown()
+    return slam, infos, Ts_gt
+
+
+def test_initializes_and_tracks(slam_run):
+    slam, infos, Ts_gt = slam_run
+    assert slam.state == State.OK, [i.get("state") for i in infos]
+    states = [i["state"] for i in infos]
+    assert "OK" in states
+    # after init, every subsequent frame should have tracked
+    first_ok = states.index("OK")
+    assert all(s == "OK" for s in states[first_ok:])
+
+
+def test_map_grows(slam_run):
+    slam, infos, Ts_gt = slam_run
+    assert slam.map.num_keyframes() >= 3
+    assert slam.map.num_map_points() > 100
+
+
+def test_trajectory_ate(slam_run):
+    slam, infos, Ts_gt = slam_run
+    kfs = slam.map.get_keyframes()
+    est = trajectory_from_keyframes(kfs)
+    # ground-truth centers at the KF timestamps (ts = 0.1 * frame index)
+    idx = [int(round(kf.timestamp / 0.1)) for kf in kfs]
+    gt = np.stack([-Ts_gt[i][:3, :3].T @ Ts_gt[i][:3, 3] for i in idx])
+    res = ate_rmse(est, gt, align_scale=True)
+    # Path length is ~0.35 * 12 = 4.2 world units; demand ATE < 5% of that.
+    assert res["rmse"] < 0.21, res
+
+
+def test_reprojection_error_small(slam_run):
+    slam, infos, Ts_gt = slam_run
+    err = slam.map.compute_mean_reprojection_error(slam.camera.K)
+    assert err < 2.0, err
+
+
+def test_reset(slam_run):
+    slam, infos, Ts_gt = slam_run
+    slam.reset()
+    assert slam.state == State.NO_IMAGES_YET
+    assert slam.map.num_keyframes() == 0
+    assert slam.map.num_map_points() == 0

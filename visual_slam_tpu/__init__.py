@@ -16,3 +16,25 @@ _jax.config.update("jax_default_matmul_precision", "highest")
 from .config import Config  # noqa: F401
 from .state import State  # noqa: F401
 from .sensor_type import SensorType  # noqa: F401
+from .camera import Camera, PinholeCamera  # noqa: F401
+
+
+def __getattr__(name):
+    # Lazy heavyweight imports (pull in the full pipeline stack on demand).
+    if name == "SLAM":
+        from .slam import SLAM
+
+        return SLAM
+    if name == "Processing":
+        from .processing import Processing
+
+        return Processing
+    if name == "Tracking":
+        from .tracking import Tracking
+
+        return Tracking
+    if name == "Initializer":
+        from .initializer import Initializer
+
+        return Initializer
+    raise AttributeError(f"module 'visual_slam_tpu' has no attribute {name!r}")

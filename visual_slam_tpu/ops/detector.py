@@ -85,6 +85,7 @@ def detect_and_describe(
         )
         scores = jnp.where(interior, scores, 0.0)
         yx, resp, valid = fast_ops.top_k_grid(scores, k_l, grid=grid)
+        sub = fast_ops.subpixel_offsets(scores, yx)
 
         blurred = pyr_ops.gaussian_blur(lvl, sigma=2.0, radius=3)
         patches_raw = orb_ops.extract_patches(lvl, yx)
@@ -95,7 +96,10 @@ def detect_and_describe(
         sx = W0 / Wl
         sy = H0 / Hl
         xy_full = jnp.stack(
-            [yx[:, 1].astype(jnp.float32) * sx, yx[:, 0].astype(jnp.float32) * sy],
+            [
+                (yx[:, 1].astype(jnp.float32) + sub[:, 1]) * sx,
+                (yx[:, 0].astype(jnp.float32) + sub[:, 0]) * sy,
+            ],
             axis=-1,
         )
         outs.append(

@@ -1,0 +1,114 @@
+"""SLAM system facade: wiring + lifecycle.
+
+API parity with the reference SLAM (visual_slam/slam.py:15-71): constructs
+FeatureTracker, Map, Tracking, LocalMapping, LocalHandler (+ a working
+GlobalHandler and loop-closing slot), owns the global state value, exposes
+``track(images, timestamp, depth)``, ``shutdown()``, ``reset()``.
+
+Default execution is synchronous/deterministic (local mapping + windowed BA
+run inline at keyframe boundaries); ``threaded=True`` restores the
+reference's background-thread pipeline (slam.py:50-54).
+"""
+from __future__ import annotations
+
+import logging
+from typing import Optional
+
+from .backend.optimizer import LMOptimizer
+from .camera import Camera
+from .config import Config
+from .frontend.tracker import FeatureTracker
+from .handlers import GlobalHandler, LocalHandler
+from .local_mapping import LocalMapping
+from .map import Map
+from .sensor_type import SensorType
+from .state import State
+from .tracking import Tracking
+from .utils.logging import get_logger
+
+
+class SLAM:
+    def __init__(
+        self,
+        camera: Camera,
+        config: Config | None = None,
+        log_dir: str | None = None,
+        threaded: bool = False,
+    ):
+        self.camera = camera
+        self.config = config or Config()
+        self.state = State.NO_IMAGES_YET
+        self.logger = get_logger("slam", log_dir=log_dir)
+
+        # Component wiring (reference slam.py:34-44).
+        self.feature_tracker = FeatureTracker(self.config.feature)
+        self.map = Map(max_frames=self.config.map.max_frames)
+        self.optimizer = LMOptimizer(self.config, camera, logger=get_logger("optimizer", log_dir))
+        sensor = SensorType[self.config.camera.sensor_type.upper()]
+        self.local_mapping = LocalMapping(
+            camera, self.config, self.map, self.feature_tracker,
+            sensor_type=sensor, logger=get_logger("local_mapping", log_dir),
+            threaded=threaded,
+        )
+        self.tracking = Tracking(
+            camera, self.config, self.feature_tracker, self.map,
+            self.local_mapping, optimizer=self.optimizer,
+            logger=get_logger("tracking", log_dir), slam=self,
+        )
+        self.local_handler = LocalHandler(
+            self.map, self.optimizer, camera, self.config,
+            threaded=threaded, logger=get_logger("local_handler", log_dir),
+        )
+        self.global_handler = GlobalHandler(
+            self.map, self.optimizer, camera, self.config,
+            threaded=threaded, logger=get_logger("global_handler", log_dir),
+        )
+        self.loop_closing = None  # (reference slam.py:44; pose-graph backend planned)
+        self.threaded = threaded
+        self._post_start()
+
+    def _post_start(self) -> None:
+        """(reference slam.py:50-54)"""
+        if self.threaded:
+            self.local_mapping.start()
+            self.local_handler.start()
+            self.global_handler.start()
+
+    # -- main API (reference slam.py:56-71) --------------------------------
+    def track(self, images, timestamp: float, depth=None) -> dict:
+        info = self.tracking.track(images, timestamp, depth)
+        if info.get("new_keyframe"):
+            # Windowed BA at keyframe boundaries — the deterministic
+            # replacement for the reference's timer-driven BA thread.
+            self.local_handler.trigger()
+        return info
+
+    def shutdown(self) -> None:
+        if self.threaded:
+            self.local_mapping.stop()
+            self.local_handler.stop()
+            self.global_handler.stop()
+            self.local_mapping.join(2.0)
+            self.local_handler.join(2.0)
+            self.global_handler.join(2.0)
+        self.local_mapping.drain()
+        self.logger.info(
+            "shutdown: %d keyframes, %d landmarks", self.map.num_keyframes(), self.map.num_map_points()
+        )
+
+    def reset(self) -> None:
+        self.map.reset()
+        self.state = State.NO_IMAGES_YET
+        self.tracking.last_frame = None
+        self.tracking.current_frame = None
+        self.tracking.reference_keyframe = None
+        self.tracking.initializer.initialized = False
+
+    # -- introspection -----------------------------------------------------
+    def trajectory(self):
+        """(frame_id, timestamp, T_w2c (4,4)) per keyframe, ordered."""
+        import numpy as np
+
+        return [
+            (kf.id, kf.timestamp, np.asarray(kf.T_w2c)) for kf in self.map.get_keyframes()
+        ]

@@ -1,0 +1,357 @@
+"""Per-frame tracking state machine.
+
+API parity with the reference Tracking (visual_slam/tracking.py:113-598):
+state dispatch, first-frame intake, two-view initialization hand-off,
+steady-state PnP tracking against the reference keyframe with a
+constant-velocity motion model, tracking-quality gates, keyframe decision,
+and motion-model update. The per-match Python gather of the reference
+(tracking.py:300-316) is replaced by a dense slot-aligned landmark array
+lookup; pose estimation is the vmapped fixed-budget RANSAC-PnP + GN refine.
+
+Beyond the reference: ``_relocalize`` is implemented (PnP against recent
+keyframes) instead of a stub returning None (reference tracking.py:596-598),
+so LOST is recoverable.
+"""
+from __future__ import annotations
+
+import logging
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .camera import Camera
+from .config import Config
+from .frontend.tracker import FeatureTracker
+from .initializer import Initializer
+from .map import Frame, KeyFrame, Map, Pose
+from .ops.lie import rotation_angle
+from .ops.pnp import ransac_pnp
+from .ops.projection import normalize_points
+from .state import State
+
+
+class Tracking:
+    def __init__(
+        self,
+        camera: Camera,
+        config: Config,
+        feature_tracker: FeatureTracker,
+        slam_map: Map,
+        local_mapping,
+        optimizer=None,
+        logger: Optional[logging.Logger] = None,
+        slam=None,
+    ):
+        self.camera = camera
+        self.config = config
+        self.tracker = feature_tracker
+        self.map = slam_map
+        self.local_mapping = local_mapping
+        self.optimizer = optimizer
+        self.logger = logger or logging.getLogger("tracking")
+        self._slam = slam  # state owner (reference slam.py:29 / tracking.py:81-87)
+        self._state = State.NO_IMAGES_YET
+
+        self.initializer = Initializer(
+            camera, config, feature_tracker, slam_map, logger=self.logger
+        )
+        self.initializer.optimizer = optimizer
+
+        self.current_frame: Frame | None = None
+        self.last_frame: Frame | None = None
+        self.reference_keyframe: KeyFrame | None = None
+        self.motion_model = np.eye(4)  # T_rel = T_cur @ inv(T_last), w2c
+        self.last_keyframe_frame_id = -1
+        self._key = jax.random.PRNGKey(13)
+        self.last_track_info: dict = {}
+
+    # -- state proxied to the SLAM facade (reference tracking.py:81-87) ----
+    @property
+    def state(self) -> State:
+        return self._slam.state if self._slam is not None else self._state
+
+    @state.setter
+    def state(self, value: State) -> None:
+        if self._slam is not None:
+            self._slam.state = value
+        else:
+            self._state = value
+
+    # -- entry point (reference tracking.py:113-138) -----------------------
+    def track(self, images, timestamp: float, depth=None) -> dict:
+        state = self.state
+        if state == State.NO_IMAGES_YET:
+            self._process_first_frame(images, timestamp, depth)
+            return {"state": self.state.name}
+        if state in (State.NOT_INITIALIZED, State.INITIALIZING):
+            self._try_initialize(images, timestamp, depth)
+            return {"state": self.state.name}
+        if state == State.OK:
+            info = self._track_ok(images, timestamp, depth)
+            info["state"] = self.state.name
+            return info
+        if state == State.LOST:
+            info = self._relocalize(images, timestamp, depth)
+            info["state"] = self.state.name
+            return info
+        return {"state": state.name}
+
+    # -- bootstrap states --------------------------------------------------
+    def _process_first_frame(self, images, timestamp, depth) -> None:
+        """(reference tracking.py:144-151)"""
+        self.initializer.add_frame(images, timestamp, depth)
+        self.state = State.NOT_INITIALIZED
+
+    def _try_initialize(self, images, timestamp, depth) -> None:
+        """(reference tracking.py:153-163)"""
+        self.state = State.INITIALIZING
+        if self.initializer.initialize(images, timestamp, depth):
+            self.reference_keyframe = self.map.get_last_keyframe()
+            self.current_frame = self.map.get_last_frame()
+            self.last_frame = self.current_frame
+            self.last_keyframe_frame_id = self.current_frame.id if self.current_frame else -1
+            self.motion_model = np.eye(4)
+            self.state = State.OK
+
+    # -- steady state ------------------------------------------------------
+    def _track_ok(self, images, timestamp, depth) -> dict:
+        """(reference tracking.py:169-230 _track_ok/_track_mono)"""
+        sensor = self.config.camera.sensor_type
+        if sensor == "monocular":
+            return self._track_mono(images, timestamp, depth)
+        # Stereo/RGBD share the mono PnP core; landmarks differ at KF creation.
+        return self._track_mono(images, timestamp, depth)
+
+    def _track_mono(self, images, timestamp, depth) -> dict:
+        kf_ref = self.map.get_last_keyframe()
+        self.reference_keyframe = kf_ref
+        frame = self._create_frame(images, timestamp, depth)
+        self._predict_pose(frame)
+
+        match_res, pts3d, xy_obs, pair_valid = self._track_local_map(frame)
+        n_candidates = int(np.asarray(pair_valid).sum())
+        info = {"n_matches": match_res.n_matches if match_res else 0, "n_3d2d": n_candidates}
+
+        if n_candidates >= 6:
+            pose_res = self._optimize_pose(frame, pts3d, xy_obs, pair_valid)
+            info.update(pose_res)
+        else:
+            info.update({"ok": False, "n_inliers": 0, "inlier_ratio": 0.0})
+
+        good = self._is_tracking_good(info)
+        info["tracking_good"] = good
+        if not good:
+            self.logger.warning(
+                "tracking lost at frame %d (inliers=%s of %d)",
+                frame.id, info.get("n_inliers"), n_candidates,
+            )
+            self.state = State.LOST
+            self.last_track_info = info
+            return info
+
+        if self._need_new_keyframe(frame, kf_ref, info):
+            self._create_keyframe(frame, match_res, info)
+            info["new_keyframe"] = True
+
+        self._update_tracking_state(frame)
+        self.last_track_info = info
+        return info
+
+    def _create_frame(self, images, timestamp, depth) -> Frame:
+        """(reference _create_frame_mono, tracking.py:232-257)"""
+        image = images[0] if isinstance(images, (list, tuple)) else images
+        gray = image if image.ndim == 2 else _to_gray(image)
+        feats = self.tracker.detectAndCompute(gray)
+        frame = Frame(
+            images=[image], images_gray=[gray], features=[feats],
+            timestamp=timestamp, depth=depth,
+        )
+        self.map.add_frame(frame)
+        self.current_frame = frame
+        return frame
+
+    def _predict_pose(self, frame: Frame) -> None:
+        """Constant-velocity prediction (reference tracking.py:446-451)."""
+        if self.last_frame is not None:
+            frame.update_pose(self.motion_model @ self.last_frame.T_w2c)
+
+    def _track_reference_keyframe(self, frame: Frame, kf_ref: KeyFrame):
+        """Match current frame to the reference KF and gather 3D-2D pairs
+        (reference _track_local_map_mono, tracking.py:259-330 — the Python
+        per-match gather becomes a dense slot lookup)."""
+        if kf_ref is None:
+            return None, None, None, np.zeros(0, bool)
+        res = self.tracker.match(frame.get_features(0), kf_ref.get_features(0))
+        ref_pos, ref_mask = kf_ref.point_arrays(0)
+        ti = np.asarray(res.train_idx)
+        pair_valid = np.asarray(res.valid) & ref_mask[ti]
+        pts3d = ref_pos[ti]
+        xy_obs = np.asarray(res.features1.xy)
+        return res, pts3d, xy_obs, pair_valid
+
+    def _track_local_map(self, frame: Frame, n_keyframes: int = 3):
+        """Gather 3D-2D candidates against the last-N keyframes (a true
+        local-map search, unlike the reference's single-latest-KF matching —
+        SURVEY.md §3.2 note). Each current keypoint keeps its best landmark
+        association across keyframes. Returns (match_res_of_last_kf, pts3d,
+        xy_obs, pair_valid)."""
+        kfs = self.map.get_keyframes()[-n_keyframes:]
+        if not kfs:
+            return None, None, None, np.zeros(0, bool)
+        feats_cur = frame.get_features(0)
+        Kslots = feats_cur.xy.shape[0]
+        best_dist = np.full(Kslots, np.inf, np.float32)
+        pts3d = np.zeros((Kslots, 3), np.float32)
+        pair_valid = np.zeros(Kslots, bool)
+        res_last = None
+        for kf in reversed(kfs):  # newest first
+            res = self.tracker.match(feats_cur, kf.get_features(0))
+            if res_last is None:
+                res_last = res
+            ref_pos, ref_mask = kf.point_arrays(0)
+            ti = np.asarray(res.train_idx)
+            ok = np.asarray(res.valid) & ref_mask[ti]
+            dist = np.asarray(res.distance)
+            take = ok & (dist < best_dist)
+            best_dist[take] = dist[take]
+            pts3d[take] = ref_pos[ti[take]]
+            pair_valid |= take
+        xy_obs = np.asarray(feats_cur.xy)
+        return res_last, pts3d, xy_obs, pair_valid
+
+    def _optimize_pose(self, frame: Frame, pts3d, xy_obs, pair_valid) -> dict:
+        """(reference _optimize_pose_mono -> solvePnPRansac,
+        tracking.py:332-413)"""
+        tcfg = self.config.tracking
+        focal = self.camera.fx
+        Kinv = jnp.asarray(self.camera.Kinv, jnp.float32)
+        xy_norm = normalize_points(Kinv, jnp.asarray(xy_obs, jnp.float32))
+        self._key, sub = jax.random.split(self._key)
+        res = ransac_pnp(
+            jnp.asarray(pts3d, jnp.float32),
+            xy_norm,
+            jnp.asarray(pair_valid),
+            sub,
+            n_hyp=tcfg.pnp_hypotheses,
+            thresh=tcfg.pnp_threshold_px / focal,
+        )
+        ok = bool(res["ok"])
+        n_inl = int(res["n_inliers"])
+        n_pairs = max(int(pair_valid.sum()), 1)
+        if n_inl < tcfg.min_inliers:
+            # Motion-model fallback: robust GN from the predicted pose — the
+            # RANSAC hypothesis batch can miss when candidates are scarce but
+            # the prior is strong (constant-velocity).
+            from .ops.pnp import refine_pose_gn, _reproj_err2
+
+            R0 = jnp.asarray(frame.R_w2c, jnp.float32)
+            t0 = jnp.asarray(frame.t_w2c, jnp.float32)
+            thresh = tcfg.pnp_threshold_px / focal
+            R1, t1 = refine_pose_gn(
+                R0, t0, jnp.asarray(pts3d, jnp.float32), xy_norm,
+                jnp.asarray(pair_valid, jnp.float32), iters=10, huber=thresh,
+            )
+            errs = _reproj_err2(R1, t1, jnp.asarray(pts3d, jnp.float32), xy_norm)
+            inl2 = np.asarray((errs < thresh * thresh)) & pair_valid
+            if int(inl2.sum()) > n_inl:
+                res = {"R": R1, "t": t1, "inliers": jnp.asarray(inl2)}
+                n_inl = int(inl2.sum())
+                ok = n_inl >= 6
+        if ok:
+            frame.set_pose_Rt(np.asarray(res["R"], np.float64), np.asarray(res["t"], np.float64))
+        return {
+            "ok": ok,
+            "n_inliers": n_inl,
+            "inlier_ratio": n_inl / n_pairs,
+            "pnp_inliers": np.asarray(res["inliers"]),
+        }
+
+    def _is_tracking_good(self, info: dict) -> bool:
+        """(reference tracking.py:453-516)"""
+        tcfg = self.config.tracking
+        if not info.get("ok", False):
+            return False
+        if info.get("n_inliers", 0) < tcfg.min_inliers:
+            return False
+        if info.get("inlier_ratio", 0.0) < tcfg.min_inlier_ratio:
+            return False
+        if tcfg.check_reprojection_error and self.current_frame is not None:
+            err = self.map.compute_mean_reprojection_error(self.camera.K)
+            if err > tcfg.max_reprojection_error:
+                return False
+        return True
+
+    def _need_new_keyframe(self, frame: Frame, kf_ref: KeyFrame, info: dict) -> bool:
+        """(reference tracking.py:518-580; the undefined-variable path when
+        last_frame is None is fixed by the early return)"""
+        if kf_ref is None:
+            return False
+        tcfg = self.config.tracking
+        gap = frame.id - self.last_keyframe_frame_id
+        if gap <= 0:
+            return False
+        if info.get("n_inliers", 0) < tcfg.kf_min_matches:
+            return True
+        # Landmark coverage is thinning — refresh the local map before
+        # tracking starves (beyond-reference gate; the reference only
+        # counts raw matches, tracking.py:560-567).
+        if info.get("n_3d2d", 0) < 2 * tcfg.kf_min_matches:
+            return True
+        if gap > tcfg.keyframe_interval:
+            return True
+        trans = float(np.linalg.norm(frame.t_c2w - kf_ref.t_c2w))
+        rot_deg = float(
+            np.rad2deg(
+                np.asarray(rotation_angle(jnp.asarray(frame.R_w2c @ kf_ref.R_w2c.T, jnp.float32)))
+            )
+        )
+        return trans > tcfg.kf_min_translation or rot_deg > tcfg.kf_min_rotation_deg
+
+    def _create_keyframe(self, frame: Frame, match_res, info: dict) -> None:
+        """Promote to keyframe, inherit tracked landmarks, hand to local
+        mapping (reference tracking.py:582-585)."""
+        kf = KeyFrame.from_frame(frame)
+        if match_res is not None and self.reference_keyframe is not None:
+            ti = np.asarray(match_res.train_idx)
+            ok = np.asarray(match_res.valid)
+            pnp_inl = info.get("pnp_inliers")
+            if pnp_inl is not None:
+                ok = ok & np.asarray(pnp_inl)
+            for i_cur in np.nonzero(ok)[0]:
+                mp = self.reference_keyframe.get_map_point(0, int(ti[i_cur]))
+                if mp is not None and not mp.is_bad:
+                    kf.add_map_point(0, int(i_cur), mp)
+        self.last_keyframe_frame_id = frame.id
+        self.local_mapping.insert_keyframe(kf)
+        self.reference_keyframe = kf
+
+    def _update_tracking_state(self, frame: Frame) -> None:
+        """Motion model T_rel = T_cur @ inv(T_last) (reference
+        tracking.py:587-594 up to its T_w2c convention)."""
+        if self.last_frame is not None:
+            self.motion_model = frame.T_w2c @ np.linalg.inv(self.last_frame.T_w2c)
+        self.last_frame = frame
+
+    # -- relocalization (reference stub tracking.py:596-598; implemented) --
+    def _relocalize(self, images, timestamp, depth, max_candidates: int = 5) -> dict:
+        frame = self._create_frame(images, timestamp, depth)
+        for kf in reversed(self.map.get_keyframes()[-max_candidates:]):
+            res, pts3d, xy_obs, pair_valid = self._track_reference_keyframe(frame, kf)
+            if res is None or int(pair_valid.sum()) < 6:
+                continue
+            pose_res = self._optimize_pose(frame, pts3d, xy_obs, pair_valid)
+            if self._is_tracking_good(pose_res):
+                self.logger.info("relocalized against KF %d", kf.keyframe_id)
+                self.reference_keyframe = kf
+                self.motion_model = np.eye(4)
+                self.last_frame = frame
+                self.state = State.OK
+                pose_res["relocalized"] = True
+                return pose_res
+        return {"ok": False, "relocalized": False}
+
+
+def _to_gray(img: np.ndarray) -> np.ndarray:
+    return (0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]).astype(np.float32)
