@@ -1,0 +1,141 @@
+"""Benchmark: end-to-end tracked FPS at 2000 ORB features on KITTI-sized
+frames (the BASELINE.json north-star metric), plus BA solve latency.
+
+Runs on whatever backend jax selects (the driver runs it on one real TPU
+chip). Prints ONE JSON line:
+  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+vs_baseline is value / 30 FPS (the north-star real-time target; the
+reference publishes no numbers and is qualitatively not real-time,
+BASELINE.md).
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def synth_kitti_frames(n_frames=12, H=376, W=1240, f=718.856, n_sprites=900, seed=0):
+    """Sprite-world frames at KITTI resolution (see tests/render.py)."""
+    rng = np.random.default_rng(seed)
+    K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1.0]], np.float32)
+    pts = np.stack(
+        [rng.uniform(-30, 40, n_sprites), rng.uniform(-8, 8, n_sprites), rng.uniform(8, 50, n_sprites)], 1
+    )
+    sizes = rng.uniform(0.15, 0.6, n_sprites)
+    intens = rng.uniform(20, 255, n_sprites)
+    frames = []
+    for i in range(n_frames):
+        T = np.eye(4)
+        T[0, 3] = -0.8 * i  # camera moving +x
+        img = np.full((H, W), 110.0, np.float32)
+        pc = pts @ T[:3, :3].T + T[:3, 3]
+        order = np.argsort(-pc[:, 2])
+        for idx in order:
+            x, y, z = pc[idx]
+            if z < 1.0:
+                continue
+            u = f * x / z + K[0, 2]
+            v = f * y / z + K[1, 2]
+            s = f * sizes[idx] / z
+            u0, u1, v0, v1 = u - s, u + s, v - s, v + s
+            ix0, ix1 = max(int(u0), 0), min(int(np.ceil(u1)), W)
+            iy0, iy1 = max(int(v0), 0), min(int(np.ceil(v1)), H)
+            if ix1 <= ix0 or iy1 <= iy0:
+                continue
+            img[iy0:iy1, ix0:ix1] = intens[idx]
+        frames.append(img)
+    return frames, K
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from visual_slam_tpu.backend.ba import BAProblem, bundle_adjust
+    from visual_slam_tpu.ops.detector import detect_and_describe
+    from visual_slam_tpu.pipeline import init_track_state, make_track_step
+
+    num_features = 2000
+    frames, K_np = synth_kitti_frames()
+    K = jnp.asarray(K_np)
+    imgs = [jnp.asarray(f) for f in frames]
+
+    # Reference state: features of frame 0 + plausible landmark slots.
+    feats0 = detect_and_describe(imgs[0], num_features=num_features, threshold=20.0, n_levels=4)
+    rng = np.random.default_rng(1)
+    # Backproject the detected keypoints at plausible depths -> landmark per slot.
+    xy = np.asarray(feats0.xy)
+    z = rng.uniform(8, 40, num_features).astype(np.float32)
+    Kinv = np.linalg.inv(K_np)
+    rays = np.concatenate([xy, np.ones((num_features, 1), np.float32)], 1) @ Kinv.T
+    landmarks = rays * z[:, None]
+    state = init_track_state(feats0, landmarks, np.asarray(feats0.valid), np.eye(4), seed=0)
+
+    step = make_track_step(K, num_features=num_features, n_levels=4)
+
+    # Warmup/compile.
+    state_w, out = step(state, imgs[1])
+    jax.block_until_ready(out.T_w2c)
+
+    # Steady-state timing: cycle through distinct frames to defeat caching.
+    n_iter = 60
+    t0 = time.perf_counter()
+    s = state
+    for i in range(n_iter):
+        s, out = step(s, imgs[1 + (i % (len(imgs) - 1))])
+    jax.block_until_ready(out.T_w2c)
+    dt = time.perf_counter() - t0
+    fps = n_iter / dt
+
+    # BA window latency: W=10 KFs, M=4096 landmark slots, 20 LM iters.
+    Wk, M = 10, 4096
+    pts = np.stack(
+        [rng.uniform(-20, 30, M), rng.uniform(-8, 8, M), rng.uniform(8, 50, M)], 1
+    ).astype(np.float32)
+    T = np.tile(np.eye(4, dtype=np.float32), (Wk, 1, 1))
+    for j in range(Wk):
+        T[j, 0, 3] = -0.8 * j
+    uv = np.zeros((M, Wk, 2), np.float32)
+    valid = np.zeros((M, Wk), bool)
+    for j in range(Wk):
+        pc = pts @ T[j, :3, :3].T + T[j, :3, 3]
+        uv[:, j] = pc[:, :2] / np.maximum(pc[:, 2:3], 1e-6)
+        valid[:, j] = pc[:, 2] > 1.0
+    problem = BAProblem(
+        T_w2c=jnp.asarray(T),
+        points=jnp.asarray(pts + rng.normal(0, 0.05, pts.shape).astype(np.float32)),
+        uv=jnp.asarray(uv),
+        obs_valid=jnp.asarray(valid),
+        pose_valid=jnp.ones(Wk, bool),
+        pose_fixed=jnp.asarray([True] + [False] * (Wk - 1)),
+    )
+    Tb, Xb, info = bundle_adjust(problem, n_iter=20, huber=5.0 / float(K_np[0, 0]))
+    jax.block_until_ready(Tb)
+    n_ba = 10
+    t0 = time.perf_counter()
+    for _ in range(n_ba):
+        Tb, Xb, info = bundle_adjust(problem, n_iter=20, huber=5.0 / float(K_np[0, 0]))
+    jax.block_until_ready(Tb)
+    ba_ms = (time.perf_counter() - t0) / n_ba * 1e3
+
+    print(
+        json.dumps(
+            {
+                "metric": "tracked_fps_2000feat_kitti",
+                "value": round(fps, 2),
+                "unit": "fps",
+                "vs_baseline": round(fps / 30.0, 3),
+                "extra": {
+                    "ba_ms_per_window_10kf_4096pts_20iter": round(ba_ms, 2),
+                    "backend": jax.devices()[0].platform,
+                    "device": str(jax.devices()[0]),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,56 @@
+"""Multi-device tests on the 8 virtual CPU devices (conftest)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from visual_slam_tpu.parallel import make_mesh, bundle_adjust_sharded
+from visual_slam_tpu.backend.ba import bundle_adjust
+from test_ba import make_ba_problem
+
+
+def test_mesh_factorization():
+    mesh = make_mesh(("seq", "lm"))
+    assert mesh.shape["seq"] * mesh.shape["lm"] == 8
+    mesh1 = make_mesh("lm")
+    assert mesh1.shape["lm"] == 8
+
+
+def test_sharded_ba_matches_single_device(rng):
+    problem, T_gt, pts_gt, f = make_ba_problem(rng, W=4, M=128, noise_px=0.2, n_fixed=2)
+    T1, X1, info1 = bundle_adjust(problem, n_iter=10, huber=5.0 / f)
+    mesh = make_mesh("lm")
+    T8, X8, info8 = bundle_adjust_sharded(problem, mesh, axis="lm", n_iter=10, huber=5.0 / f)
+    np.testing.assert_allclose(np.asarray(T8), np.asarray(T1), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(X8), np.asarray(X1), atol=1e-3)
+    np.testing.assert_allclose(float(info8["cost"]), float(info1["cost"]), rtol=1e-3)
+
+
+def test_batched_vo_step_shards(rng):
+    """Tiny batched VO: 8 sequences of small random images over the mesh."""
+    from visual_slam_tpu.parallel.multiseq import make_batched_vo, shard_batch
+    from visual_slam_tpu.pipeline import init_track_state
+    from visual_slam_tpu.ops.detector import detect_and_describe
+
+    mesh = make_mesh("seq")
+    B, H, W = 8, 64, 80
+    f = 100.0
+    K = jnp.asarray([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1.0]], jnp.float32)
+    imgs = jnp.asarray(rng.uniform(0, 255, (B, H, W)), jnp.float32)
+
+    feats = jax.vmap(
+        lambda im: detect_and_describe(im, num_features=64, threshold=10.0, n_levels=1, grid=2)
+    )(imgs)
+    Kslots = 64
+    landmarks = jnp.asarray(rng.uniform(-1, 1, (B, Kslots, 3)), jnp.float32) + jnp.array([0, 0, 5.0])
+    has = jnp.ones((B, Kslots), bool)
+    states = jax.vmap(lambda ft, lm, h: init_track_state(ft, lm, h, jnp.eye(4)))(
+        feats, landmarks, has
+    )
+    states = shard_batch(mesh, "seq", states)
+    step = make_batched_vo(
+        K, mesh, num_features=64, fast_threshold=10.0, n_levels=1, grid=2,
+        pnp_hypotheses=32,
+    )
+    new_states, outs = step(states, imgs)
+    assert outs.T_w2c.shape == (B, 4, 4)
+    assert np.isfinite(np.asarray(outs.T_w2c)).all()

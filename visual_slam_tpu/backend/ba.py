@@ -97,18 +97,30 @@ def _robust_weights(r, huber):
     return jnp.where(rn <= huber, 1.0, huber / jnp.maximum(rn, _EPS))
 
 
-def _cost(r, w_obs, huber):
-    """Total robust (Huber) cost. r: (M, W, 2), w_obs: (M, W)."""
+def _cost(r, w_obs, huber, axis_name=None):
+    """Total robust (Huber) cost. r: (M, W, 2), w_obs: (M, W). With
+    ``axis_name``, M is a sharded axis and the sum is completed by psum."""
     rn2 = jnp.sum(r * r, axis=-1)
     rn = jnp.sqrt(rn2 + _EPS)
     quad = 0.5 * rn2
     lin = huber * (rn - 0.5 * huber)
     rho = jnp.where(rn <= huber, quad, lin)
-    return jnp.sum(rho * w_obs)
+    c = jnp.sum(rho * w_obs)
+    if axis_name is not None:
+        c = jax.lax.psum(c, axis_name)
+    return c
 
 
-def _solve_step(T_w2c, points, uv, w_obs, pose_free, lam, huber):
-    """One LM linear solve: returns (dxi (W, 6), dX (M, 3))."""
+def _solve_step(T_w2c, points, uv, w_obs, pose_free, lam, huber, axis_name=None):
+    """One LM linear solve: returns (dxi (W, 6), dX (M, 3)).
+
+    With ``axis_name`` set, the landmark axis M is SHARDED across a device
+    mesh (shard_map): each device builds partial pose blocks (U, S_cross, b)
+    over its landmark shard, a psum over the mesh completes the reduction,
+    the tiny (6W, 6W) Schur system is solved replicated, and landmark
+    back-substitution stays local — one all-reduce of O(W^2) data per
+    iteration rides the ICI.
+    """
     M, W = uv.shape[:2]
     r, Jp, Jx, in_front = _residuals_and_jacobians(T_w2c, points, uv, w_obs > 0)
     w = w_obs * _robust_weights(r, huber) * in_front  # (M, W)
@@ -122,6 +134,12 @@ def _solve_step(T_w2c, points, uv, w_obs, pose_free, lam, huber):
     gp = jnp.einsum("mwai,mw,mwa->wi", Jp, w, r)  # (W, 6)
     gx = jnp.einsum("mwai,mw,mwa->mi", Jx, w, r)  # (M, 3)
 
+    # Complete the pose-block reductions across landmark shards BEFORE
+    # damping (damping must be added exactly once).
+    if axis_name is not None:
+        U = jax.lax.psum(U, axis_name)
+        gp = jax.lax.psum(gp, axis_name)
+
     # Damp.
     U = U + lam * jnp.eye(6)[None]
     V = V + lam * jnp.eye(3)[None]
@@ -130,8 +148,12 @@ def _solve_step(T_w2c, points, uv, w_obs, pose_free, lam, huber):
     # Schur complement on landmarks.
     T_blk = jnp.einsum("mwij,mjk->mwik", Y, Vinv)  # (M, W, 6, 3)
     S_cross = jnp.einsum("muik,mvjk->uivj", T_blk, Y)  # (W, 6, W, 6)
+    b_local = -jnp.einsum("mwik,mk->wi", T_blk, gx)  # (W, 6) partial
+    if axis_name is not None:
+        S_cross = jax.lax.psum(S_cross, axis_name)
+        b_local = jax.lax.psum(b_local, axis_name)
+    b = gp + b_local
     S = jnp.zeros((W, 6, W, 6)).at[jnp.arange(W), :, jnp.arange(W), :].add(U) - S_cross
-    b = gp - jnp.einsum("mwik,mk->wi", T_blk, gx)  # (W, 6)
 
     # Fixed/invalid pose slots: identity rows/cols, zero rhs.
     free = pose_free  # (W,)
@@ -159,19 +181,21 @@ def _apply_step(T_w2c, points, dxi, dX):
     return T_new, points + dX
 
 
-@partial(jax.jit, static_argnames=("n_iter",))
+@partial(jax.jit, static_argnames=("n_iter", "axis_name"))
 def bundle_adjust(
     problem: BAProblem,
     n_iter: int = 20,
     huber: float = 5e-3,
     lam0: float = 1e-3,
+    axis_name: str | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, dict]:
     """Run the damped LM loop. Returns (T_w2c', points', info).
 
     ``huber`` is in normalized-coordinate units (pixels / focal). The
     iteration count is static; accept/reject logic is branch-free selects,
     mirroring classic LM: lambda shrinks x0.5 on improvement, grows x4 on a
-    rejected step.
+    rejected step. ``axis_name`` names a mesh axis sharding the landmark
+    dimension (see _solve_step) — use via backend.parallel.
     """
     w_obs = (problem.obs_valid).astype(jnp.float32)
     pose_free = (
@@ -180,11 +204,13 @@ def bundle_adjust(
 
     def cost_of(T, X):
         r, _, _, in_front = _residuals_and_jacobians(T, X, problem.uv, w_obs > 0)
-        return _cost(r, w_obs * in_front, huber)
+        return _cost(r, w_obs * in_front, huber, axis_name=axis_name)
 
     def body(carry, _):
         T, X, lam, c = carry
-        dxi, dX = _solve_step(T, X, problem.uv, w_obs, pose_free, lam, huber)
+        dxi, dX = _solve_step(
+            T, X, problem.uv, w_obs, pose_free, lam, huber, axis_name=axis_name
+        )
         T_new, X_new = _apply_step(T, X, dxi, dX)
         c_new = cost_of(T_new, X_new)
         accept = c_new < c

@@ -1,0 +1,6 @@
+"""Multi-device execution: landmark-sharded bundle adjustment and
+data-parallel multi-sequence SLAM over a jax.sharding.Mesh."""
+
+from .mesh import make_mesh  # noqa: F401
+from .ba_sharded import bundle_adjust_sharded  # noqa: F401
+from .multiseq import batched_track_step, make_batched_vo  # noqa: F401
