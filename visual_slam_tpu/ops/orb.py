@@ -58,49 +58,77 @@ def extract_patches(img: jnp.ndarray, yx: jnp.ndarray) -> jnp.ndarray:
     return jax.vmap(one)(yx)
 
 
+_MOMENT_W = jnp.stack(
+    [jnp.asarray((_xx * (_yy**2 + _xx**2 <= RADIUS**2)).astype(np.float32)).reshape(-1),
+     jnp.asarray((_yy * (_yy**2 + _xx**2 <= RADIUS**2)).astype(np.float32)).reshape(-1)],
+    axis=-1,
+)  # (961, 2): disk-masked x / y moment weights
+
+
 def orientations(patches: jnp.ndarray) -> jnp.ndarray:
-    """Intensity-centroid angle per patch: (K, 31, 31) -> (K,) radians."""
-    w = patches * DISK[None]
-    m10 = jnp.sum(w * XX[None], axis=(-2, -1))
-    m01 = jnp.sum(w * YY[None], axis=(-2, -1))
-    return jnp.arctan2(m01, m10)
+    """Intensity-centroid angle per patch: (K, 31, 31) -> (K,) radians.
+    One (K, 961) x (961, 2) matmul instead of masked reductions."""
+    flat = patches.reshape(patches.shape[0], -1)
+    m = jax.lax.dot_general(
+        flat, _MOMENT_W,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (K, 2) = (m10, m01)
+    return jnp.arctan2(m[:, 1], m[:, 0])
 
 
-def _bilinear(patch: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray) -> jnp.ndarray:
-    """Bilinear sample a (31, 31) patch at float coords (already shifted to
-    patch frame, i.e. in [0, 30])."""
-    y0 = jnp.clip(jnp.floor(ys), 0, PATCH - 2)
-    x0 = jnp.clip(jnp.floor(xs), 0, PATCH - 2)
-    fy = ys - y0
-    fx = xs - x0
-    y0 = y0.astype(jnp.int32)
-    x0 = x0.astype(jnp.int32)
-    v00 = patch[y0, x0]
-    v01 = patch[y0, x0 + 1]
-    v10 = patch[y0 + 1, x0]
-    v11 = patch[y0 + 1, x0 + 1]
-    return (
-        v00 * (1 - fy) * (1 - fx)
-        + v01 * (1 - fy) * fx
-        + v10 * fy * (1 - fx)
-        + v11 * fy * fx
-    )
+# Steering quantization: the pattern is pre-rotated into N_BINS discrete
+# orientations (2pi/30 = 12 degrees, the cv2.ORB quantization) and each bin's
+# bilinear sampling is baked into a dense (961 -> 512) weight matrix. Sampling
+# ALL bins for ALL patches is then ONE (K, 961) x (961, N_BINS*512) matmul on
+# the MXU, followed by a one-hot bin select — no gathers anywhere. This is
+# ~30x faster on TPU than per-keypoint bilinear gathering.
+N_BINS = 30
+
+
+def _make_rotated_sampling_matrices() -> np.ndarray:
+    """(961, N_BINS * 512) bilinear sampling weights: column (b*512 + s)
+    samples pattern point s rotated by angle 2pi*b/N_BINS."""
+    pat = _make_pattern()  # (256, 2, 2) as (y, x)
+    pts = pat.reshape(-1, 2)  # (512, 2)
+    S = np.zeros((PATCH * PATCH, N_BINS * 2 * N_BITS), np.float32)
+    for b in range(N_BINS):
+        th = 2.0 * np.pi * b / N_BINS
+        c, s = np.cos(th), np.sin(th)
+        ry = s * pts[:, 1] + c * pts[:, 0] + RADIUS
+        rx = c * pts[:, 1] - s * pts[:, 0] + RADIUS
+        y0 = np.clip(np.floor(ry), 0, PATCH - 2).astype(int)
+        x0 = np.clip(np.floor(rx), 0, PATCH - 2).astype(int)
+        fy = ry - y0
+        fx = rx - x0
+        for si in range(2 * N_BITS):
+            col = b * 2 * N_BITS + si
+            base = y0[si] * PATCH + x0[si]
+            S[base, col] += (1 - fy[si]) * (1 - fx[si])
+            S[base + 1, col] += (1 - fy[si]) * fx[si]
+            S[base + PATCH, col] += fy[si] * (1 - fx[si])
+            S[base + PATCH + 1, col] += fy[si] * fx[si]
+    return S
+
+
+_SAMPLING = jnp.asarray(_make_rotated_sampling_matrices())  # (961, 30*512)
 
 
 def descriptors(patches: jnp.ndarray, angles: jnp.ndarray) -> jnp.ndarray:
     """Steered BRIEF: (K, 31, 31) blurred patches + (K,) angles -> (K, 8) uint32."""
-    c = jnp.cos(angles)
-    s = jnp.sin(angles)
-    # Rotate pattern offsets per keypoint: (K, 256, 2, 2)
-    py = PATTERN[None, :, :, 0]  # (1, 256, 2)
-    px = PATTERN[None, :, :, 1]
-    ry = s[:, None, None] * px + c[:, None, None] * py + RADIUS
-    rx = c[:, None, None] * px - s[:, None, None] * py + RADIUS
-
-    def sample_one(patch, ys, xs):
-        return _bilinear(patch, ys.reshape(-1), xs.reshape(-1)).reshape(N_BITS, 2)
-
-    vals = jax.vmap(sample_one)(patches, ry, rx)  # (K, 256, 2)
+    K = patches.shape[0]
+    flat = patches.reshape(K, -1)  # (K, 961)
+    samples_all = jax.lax.dot_general(
+        flat, _SAMPLING,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    ).reshape(K, N_BINS, 2 * N_BITS)
+    # Select each keypoint's angle bin with a one-hot contraction (no gather).
+    two_pi = 2.0 * jnp.pi
+    bins = jnp.floor(jnp.mod(angles, two_pi) / two_pi * N_BINS).astype(jnp.int32) % N_BINS
+    onehot = jax.nn.one_hot(bins, N_BINS, dtype=samples_all.dtype)  # (K, 30)
+    vals = jnp.einsum("kbs,kb->ks", samples_all, onehot).reshape(K, N_BITS, 2)
     bits = (vals[..., 0] < vals[..., 1]).astype(jnp.uint32)  # (K, 256)
     # Pack into 8 uint32 words.
     b = bits.reshape(-1, N_WORDS, 32)
