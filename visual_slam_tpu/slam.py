@@ -63,7 +63,16 @@ class SLAM:
             self.map, self.optimizer, camera, self.config,
             threaded=threaded, logger=get_logger("global_handler", log_dir),
         )
-        self.loop_closing = None  # (reference slam.py:44; pose-graph backend planned)
+        # Working loop closing (reference slam.py:44 hardcodes None).
+        if self.config.loop_closing.enabled:
+            from .loop_closing import LoopClosing
+
+            self.loop_closing = LoopClosing(
+                self.map, camera, self.config, optimizer=self.optimizer,
+                logger=get_logger("loop_closing", log_dir),
+            )
+        else:
+            self.loop_closing = None
         self.threaded = threaded
         self._post_start()
 
@@ -81,6 +90,12 @@ class SLAM:
             # Windowed BA at keyframe boundaries — the deterministic
             # replacement for the reference's timer-driven BA thread.
             self.local_handler.trigger()
+            if self.loop_closing is not None:
+                kf = self.map.get_last_keyframe()
+                if kf is not None:
+                    loop = self.loop_closing.process_keyframe(kf)
+                    if loop is not None:
+                        info["loop_closed"] = loop["loop"]
         return info
 
     def shutdown(self) -> None:

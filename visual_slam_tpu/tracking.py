@@ -66,6 +66,9 @@ class Tracking:
         self.last_keyframe_frame_id = -1
         self._key = jax.random.PRNGKey(13)
         self.last_track_info: dict = {}
+        from .trackingalgorithm import MonoTracking
+
+        self.algorithm = MonoTracking()  # pluggable strategy (trackingalgorithm/)
 
     # -- state proxied to the SLAM facade (reference tracking.py:81-87) ----
     @property
@@ -130,22 +133,15 @@ class Tracking:
         frame = self._create_frame(images, timestamp, depth)
         self._predict_pose(frame)
 
-        match_res, pts3d, xy_obs, pair_valid = self._track_local_map(frame)
-        n_candidates = int(np.asarray(pair_valid).sum())
-        info = {"n_matches": match_res.n_matches if match_res else 0, "n_3d2d": n_candidates}
-
-        if n_candidates >= 6:
-            pose_res = self._optimize_pose(frame, pts3d, xy_obs, pair_valid)
-            info.update(pose_res)
-        else:
-            info.update({"ok": False, "n_inliers": 0, "inlier_ratio": 0.0})
+        info = self.algorithm.track_frame(self, frame)
+        match_res = info.pop("match_res", None)
 
         good = self._is_tracking_good(info)
         info["tracking_good"] = good
         if not good:
             self.logger.warning(
-                "tracking lost at frame %d (inliers=%s of %d)",
-                frame.id, info.get("n_inliers"), n_candidates,
+                "tracking lost at frame %d (inliers=%s of %s)",
+                frame.id, info.get("n_inliers"), info.get("n_3d2d"),
             )
             self.state = State.LOST
             self.last_track_info = info
