@@ -104,8 +104,9 @@ def test_descriptor_shift_invariance(rng):
     p2 = orb_ops.extract_patches(jnp.asarray(img2), jnp.asarray(yx2))
     a1 = orb_ops.orientations(p1)
     a2 = orb_ops.orientations(p2)
-    d1 = orb_ops.descriptors(p1, a1)
-    d2 = orb_ops.descriptors(p2, a2)
+    samp = orb_ops.sampling_matrix()
+    d1 = orb_ops.descriptors(p1, a1, samp)
+    d2 = orb_ops.descriptors(p2, a2, samp)
     ham_same = np.asarray(
         match_ops.hamming_distance_matrix(d1, d2, jnp.ones(40, bool), jnp.ones(40, bool))
     )

@@ -29,7 +29,8 @@ def test_batched_vo_step_shards(rng):
     """Tiny batched VO: 8 sequences of small random images over the mesh."""
     from visual_slam_tpu.parallel.multiseq import make_batched_vo, shard_batch
     from visual_slam_tpu.pipeline import init_track_state
-    from visual_slam_tpu.ops.detector import detect_and_describe
+    from visual_slam_tpu.ops.detector import detect_and_describe_with_sampling
+    from visual_slam_tpu.ops.orb import sampling_matrix
 
     mesh = make_mesh("seq")
     B, H, W = 8, 64, 80
@@ -38,8 +39,11 @@ def test_batched_vo_step_shards(rng):
     imgs = jnp.asarray(rng.uniform(0, 255, (B, H, W)), jnp.float32)
 
     feats = jax.vmap(
-        lambda im: detect_and_describe(im, num_features=64, threshold=10.0, n_levels=1, grid=2)
-    )(imgs)
+        lambda im, s: detect_and_describe_with_sampling(
+            im, s, num_features=64, threshold=10.0, n_levels=1, grid=2
+        ),
+        in_axes=(0, None),
+    )(imgs, sampling_matrix())
     Kslots = 64
     landmarks = jnp.asarray(rng.uniform(-1, 1, (B, Kslots, 3)), jnp.float32) + jnp.array([0, 0, 5.0])
     has = jnp.ones((B, Kslots), bool)

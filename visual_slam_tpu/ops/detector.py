@@ -52,8 +52,9 @@ def level_quotas(num_features: int, n_levels: int, scale: float) -> list[int]:
     jax.jit,
     static_argnames=("num_features", "n_levels", "scale", "grid", "edge_margin"),
 )
-def detect_and_describe(
+def detect_and_describe_with_sampling(
     img: jnp.ndarray,
+    sampling: jnp.ndarray,
     num_features: int = 1000,
     threshold: float = 20.0,
     n_levels: int = 4,
@@ -64,7 +65,14 @@ def detect_and_describe(
     """Full ORB front-end on one grayscale image (H, W) float32 in [0, 255].
 
     Replaces FeatureTracker.detectAndCompute -> cv2 detector C++ calls
-    (reference feature/tracker.py:92-104)."""
+    (reference feature/tracker.py:92-104).
+
+    ``sampling`` is the rotated-BRIEF weight matrix (orb.sampling_matrix()).
+    It MUST flow through every enclosing jit as a traced argument — baked as
+    an HLO literal (59 MB) it blows up compile time; use this explicit-arg
+    variant inside jit/vmap, and the ``detect_and_describe`` wrapper from
+    host code.
+    """
     H0, W0 = img.shape
     levels = pyr_ops.build_pyramid(img, n_levels, scale)
     quotas = level_quotas(num_features, n_levels, scale)
@@ -91,7 +99,7 @@ def detect_and_describe(
         patches_raw = orb_ops.extract_patches(lvl, yx)
         patches_blur = orb_ops.extract_patches(blurred, yx)
         ang = orb_ops.orientations(patches_raw)
-        desc = orb_ops.descriptors(patches_blur, ang)
+        desc = orb_ops.descriptors(patches_blur, ang, sampling)
 
         sx = W0 / Wl
         sy = H0 / Hl
@@ -115,3 +123,27 @@ def detect_and_describe(
         )
 
     return Features(*[jnp.concatenate([getattr(o, f) for o in outs], axis=0) for f in Features._fields])
+
+
+def detect_and_describe(
+    img: jnp.ndarray,
+    num_features: int = 1000,
+    threshold: float = 20.0,
+    n_levels: int = 4,
+    scale: float = 1.2,
+    grid: int = 8,
+    edge_margin: int = 16,
+) -> Features:
+    """Host-callable wrapper: injects the device-resident sampling matrix as
+    a traced argument. From inside jit/vmap use
+    ``detect_and_describe_with_sampling`` and thread the matrix explicitly."""
+    return detect_and_describe_with_sampling(
+        img,
+        orb_ops.sampling_matrix(),
+        num_features=num_features,
+        threshold=threshold,
+        n_levels=n_levels,
+        scale=scale,
+        grid=grid,
+        edge_margin=edge_margin,
+    )

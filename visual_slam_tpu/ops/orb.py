@@ -111,15 +111,33 @@ def _make_rotated_sampling_matrices() -> np.ndarray:
     return S
 
 
-_SAMPLING = jnp.asarray(_make_rotated_sampling_matrices())  # (961, 30*512)
+# Host-side constant (59 MB). NOTE: always pass this through jit boundaries
+# as a traced ARGUMENT (see sampling_matrix()), never close over it — baked
+# as an HLO literal it blows up compile time.
+SAMPLING_NP = _make_rotated_sampling_matrices()  # (961, 30*512) float32
+
+_sampling_device = None
 
 
-def descriptors(patches: jnp.ndarray, angles: jnp.ndarray) -> jnp.ndarray:
-    """Steered BRIEF: (K, 31, 31) blurred patches + (K,) angles -> (K, 8) uint32."""
+def sampling_matrix() -> jnp.ndarray:
+    """Device-resident copy of the rotated-BRIEF sampling matrix (uploaded
+    once per process)."""
+    global _sampling_device
+    if _sampling_device is None:
+        _sampling_device = jnp.asarray(SAMPLING_NP)
+    return _sampling_device
+
+
+def descriptors(
+    patches: jnp.ndarray, angles: jnp.ndarray, sampling: jnp.ndarray
+) -> jnp.ndarray:
+    """Steered BRIEF: (K, 31, 31) blurred patches + (K,) angles -> (K, 8)
+    uint32. ``sampling`` is the (961, N_BINS*512) rotated-pattern matrix
+    (pass ``sampling_matrix()``)."""
     K = patches.shape[0]
     flat = patches.reshape(K, -1)  # (K, 961)
     samples_all = jax.lax.dot_general(
-        flat, _SAMPLING,
+        flat, sampling,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.DEFAULT,

@@ -13,12 +13,15 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..ops import orb as orb_ops
 from ..pipeline import TrackState, make_track_step
 
 
 def batched_track_step(track_step):
-    """vmap a single-sequence track step over a leading batch axis."""
-    return jax.vmap(track_step)
+    """vmap a single-sequence track step over a leading batch axis (the
+    sampling matrix is broadcast, not batched)."""
+    vstep = jax.vmap(track_step.jitted, in_axes=(0, 0, None))
+    return lambda states, imgs: vstep(states, imgs, orb_ops.sampling_matrix())
 
 
 def make_batched_vo(
@@ -27,16 +30,19 @@ def make_batched_vo(
     axis: str = "seq",
     **track_params,
 ):
-    """Returns a jitted (states, imgs) -> (states, outs) step with the batch
+    """Returns a (states, imgs) -> (states, outs) step with the batch
     dimension sharded over ``axis`` of ``mesh``."""
     step = make_track_step(K, **track_params)
-    vstep = jax.vmap(step)
+    vstep = jax.vmap(step.jitted, in_axes=(0, 0, None))
     batch_sharding = NamedSharding(mesh, P(axis))
 
     @jax.jit
-    def sharded_step(states: TrackState, imgs: jnp.ndarray):
+    def _sharded_step(states: TrackState, imgs: jnp.ndarray, sampling: jnp.ndarray):
         imgs = jax.lax.with_sharding_constraint(imgs, batch_sharding)
-        return vstep(states, imgs)
+        return vstep(states, imgs, sampling)
+
+    def sharded_step(states: TrackState, imgs: jnp.ndarray):
+        return _sharded_step(states, imgs, orb_ops.sampling_matrix())
 
     return sharded_step
 

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from .ops import matching as m_ops
-from .ops.detector import Features, detect_and_describe
+from .ops.detector import Features, detect_and_describe_with_sampling
 from .ops.pnp import ransac_pnp, refine_pose_gn, _reproj_err2
 from .ops.projection import normalize_points
 
@@ -59,11 +59,13 @@ def make_track_step(
     Kinv = jnp.linalg.inv(K)
     focal = K[0, 0]
     thresh = pnp_threshold_px / focal
+    from .ops import orb as orb_ops
 
     @jax.jit
-    def track_step(state: TrackState, img: jnp.ndarray) -> tuple[TrackState, TrackOutput]:
-        feats = detect_and_describe(
+    def _track_step(state: TrackState, img: jnp.ndarray, sampling: jnp.ndarray):
+        feats = detect_and_describe_with_sampling(
             img,
+            sampling,
             num_features=num_features,
             threshold=fast_threshold,
             n_levels=n_levels,
@@ -123,6 +125,11 @@ def make_track_step(
         )
         return new_state, out
 
+    def track_step(state: TrackState, img: jnp.ndarray):
+        # The sampling matrix rides as a traced argument (uploaded once).
+        return _track_step(state, img, orb_ops.sampling_matrix())
+
+    track_step.jitted = _track_step  # explicit-sampling variant for composition
     return track_step
 
 

@@ -43,7 +43,12 @@ class SLAM:
         # Component wiring (reference slam.py:34-44).
         self.feature_tracker = FeatureTracker(self.config.feature)
         self.map = Map(max_frames=self.config.map.max_frames)
-        self.optimizer = LMOptimizer(self.config, camera, logger=get_logger("optimizer", log_dir))
+        if self.config.optimization.solver == "adam":
+            from .backend.adam import AdamOptimizer
+
+            self.optimizer = AdamOptimizer(self.config, camera, logger=get_logger("optimizer", log_dir))
+        else:
+            self.optimizer = LMOptimizer(self.config, camera, logger=get_logger("optimizer", log_dir))
         sensor = SensorType[self.config.camera.sensor_type.upper()]
         self.local_mapping = LocalMapping(
             camera, self.config, self.map, self.feature_tracker,

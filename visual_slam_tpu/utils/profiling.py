@@ -1,0 +1,82 @@
+"""Tracing / profiling subsystem.
+
+New capability — the reference has none (SURVEY.md §5 tracing: "none").
+Provides per-stage wall-clock timers with summary statistics and a
+jax.profiler trace context for device-level inspection.
+"""
+from __future__ import annotations
+
+import contextlib
+import time
+from collections import defaultdict
+from typing import Dict
+
+import numpy as np
+
+
+class StageTimer:
+    """Accumulates per-stage wall-clock samples.
+
+    Usage::
+
+        timer = StageTimer()
+        with timer("detect"):
+            ...
+        print(timer.summary())
+    """
+
+    def __init__(self):
+        self._samples: Dict[str, list] = defaultdict(list)
+
+    @contextlib.contextmanager
+    def __call__(self, stage: str):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            self._samples[stage].append(time.perf_counter() - t0)
+
+    def add(self, stage: str, seconds: float) -> None:
+        self._samples[stage].append(seconds)
+
+    def stats(self, stage: str) -> dict:
+        xs = np.asarray(self._samples.get(stage, []))
+        if xs.size == 0:
+            return {}
+        return {
+            "n": int(xs.size),
+            "mean_ms": float(xs.mean() * 1e3),
+            "median_ms": float(np.median(xs) * 1e3),
+            "p90_ms": float(np.quantile(xs, 0.9) * 1e3),
+            "total_s": float(xs.sum()),
+        }
+
+    def summary(self) -> dict:
+        return {k: self.stats(k) for k in sorted(self._samples)}
+
+    def report(self) -> str:
+        lines = [f"{'stage':<24}{'n':>6}{'mean ms':>10}{'p50 ms':>10}{'p90 ms':>10}{'total s':>10}"]
+        for k, s in self.summary().items():
+            lines.append(
+                f"{k:<24}{s['n']:>6}{s['mean_ms']:>10.2f}{s['median_ms']:>10.2f}"
+                f"{s['p90_ms']:>10.2f}{s['total_s']:>10.2f}"
+            )
+        return "\n".join(lines)
+
+    def reset(self) -> None:
+        self._samples.clear()
+
+
+@contextlib.contextmanager
+def device_trace(log_dir: str):
+    """jax.profiler trace context: view with TensorBoard/XProf."""
+    import jax
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+GLOBAL_TIMER = StageTimer()
