@@ -18,6 +18,41 @@ def make_world(rng, n_sprites=260, x_range=(-6, 14), y_range=(-4, 4), z_range=(6
     return {"pts": pts, "sizes": sizes, "intensities": intensities}
 
 
+def render_with_depth(world, T_w2c, K, width=320, height=240, bg=110.0, bg_depth=0.0):
+    """Like render() but also returns a per-pixel depth map (0 = no sprite)."""
+    img = render(world, T_w2c, K, width, height, bg)
+    zbuf = np.full((height, width), bg_depth, np.float32)
+    R, t = T_w2c[:3, :3], T_w2c[:3, 3]
+    pc = world["pts"] @ R.T + t
+    order = np.argsort(-pc[:, 2])
+    f = K[0, 0]
+    for i in order:
+        x, y, z = pc[i]
+        if z < 0.5:
+            continue
+        u = f * x / z + K[0, 2]
+        v = K[1, 1] * y / z + K[1, 2]
+        s = f * world["sizes"][i] / z
+        if s < 0.7:
+            continue
+        ix0, ix1 = max(int(np.floor(u - s)), 0), min(int(np.ceil(u + s)), width)
+        iy0, iy1 = max(int(np.floor(v - s)), 0), min(int(np.ceil(v + s)), height)
+        if ix1 <= ix0 or iy1 <= iy0:
+            continue
+        zbuf[iy0:iy1, ix0:ix1] = z
+    return img, zbuf
+
+
+def stereo_pair(world, T_w2c, K, baseline, width=320, height=240):
+    """Rectified stereo: right camera displaced +baseline along the left
+    camera's x axis."""
+    left = render(world, T_w2c, K, width, height)
+    T_right = T_w2c.copy()
+    T_right[0, 3] -= baseline  # world point x maps to x - b in right cam
+    right = render(world, T_right, K, width, height)
+    return left, right
+
+
 def render(world, T_w2c, K, width=320, height=240, bg=110.0):
     """Anti-aliased sprite rendering: square edges at true subpixel positions
     with per-pixel coverage blending — observations are then consistent 3D

@@ -73,13 +73,13 @@ class Initializer:
 
     # -- frame intake (reference initializer.py:65-86) ---------------------
     def add_frame(self, images, timestamp: float, depth=None) -> Frame:
-        image = images[0] if isinstance(images, (list, tuple)) else images
-        gray = image if image.ndim == 2 else _to_gray(image)
-        feats = self.tracker.detectAndCompute(gray)
+        images = list(images) if isinstance(images, (list, tuple)) else [images]
+        grays = [im if im.ndim == 2 else _to_gray(im) for im in images]
+        feats = [self.tracker.detectAndCompute(g) for g in grays]
         frame = Frame(
-            images=[image],
-            images_gray=[gray],
-            features=[feats],
+            images=images,
+            images_gray=grays,
+            features=feats,
             timestamp=timestamp,
             depth=depth,
         )
@@ -89,11 +89,95 @@ class Initializer:
     # -- entry point (reference initializer.py:88-108) ---------------------
     def initialize(self, images, timestamp: float, depth=None) -> bool:
         frame_cur = self.add_frame(images, timestamp, depth)
-        if self.config.camera.sensor_type == "monocular":
+        sensor = self.config.camera.sensor_type
+        if sensor == "monocular":
             return self._initialize_mono(frame_cur)
-        raise NotImplementedError(
-            f"{self.config.camera.sensor_type} initialization lands with the stereo/RGBD tracking path"
-        )
+        if sensor == "stereo":
+            return self._initialize_stereo(frame_cur)
+        if sensor == "rgbd":
+            return self._initialize_rgbd(frame_cur)
+        raise ValueError(f"unknown sensor type {sensor!r}")
+
+    # -- stereo / RGBD single-frame bootstrap (reference has `pass` stubs,
+    # initializer.py:289-293) ----------------------------------------------
+    def _initialize_stereo(self, frame: Frame) -> bool:
+        """Metric bootstrap from one stereo pair: left/right match ->
+        disparity -> depth = bf/d -> landmarks. No parallax wait, no scale
+        gauge."""
+        fl = frame.get_features(0)
+        fr = frame.get_features(1)
+        bf = getattr(self.camera, "bf", 0.0)
+        if fl is None or fr is None or bf <= 0:
+            return False
+        res = self.tracker.match(fl, fr)
+        ti = np.asarray(res.train_idx)
+        ok = np.asarray(res.valid)
+        xy_l = np.asarray(fl.xy)
+        xy_r = np.asarray(fr.xy)
+        icfg = self.config.initialization
+        kf = KeyFrame.from_frame(frame)
+        created = 0
+        Kinv = self.camera.Kinv
+        for i_l in np.nonzero(ok)[0]:
+            ul, vl = xy_l[i_l]
+            ur, vr = xy_r[int(ti[i_l])]
+            if abs(vl - vr) > 2.0:  # rectified row gate (matching.py:192-228)
+                continue
+            disp = ul - ur
+            if disp <= 0.1:
+                continue
+            z = bf / disp
+            if not (icfg.min_depth < z < icfg.max_depth):
+                continue
+            p_cam = (Kinv @ np.array([ul, vl, 1.0])) * z
+            p_w = frame.R_c2w @ p_cam + frame.t_c2w
+            mp = MapPoint(p_w, color=_pixel_color(frame.get_image(0), xy_l[i_l]))
+            kf.add_map_point(0, int(i_l), mp)
+            self.map.add_map_point(mp)
+            created += 1
+        if created < self.min_inliers:
+            for key in list(kf.map_points):
+                kf.remove_map_point(*key)
+            return False
+        self.map.add_keyframe(kf)
+        self.logger.info("stereo init: %d landmarks from one pair", created)
+        self.initialized = True
+        return True
+
+    def _initialize_rgbd(self, frame: Frame) -> bool:
+        """Metric bootstrap from one depth frame."""
+        feats = frame.get_features(0)
+        depth = frame.depth
+        if feats is None or depth is None:
+            return False
+        icfg = self.config.initialization
+        xy = np.asarray(feats.xy)
+        valid = np.asarray(feats.valid)
+        kf = KeyFrame.from_frame(frame)
+        Kinv = self.camera.Kinv
+        H, W = depth.shape[:2]
+        created = 0
+        for i in np.nonzero(valid)[0]:
+            u, v = xy[i]
+            ui, vi = int(round(u)), int(round(v))
+            if not (0 <= ui < W and 0 <= vi < H):
+                continue
+            z = float(depth[vi, ui])
+            if not (icfg.min_depth < z < icfg.max_depth):
+                continue
+            p_w = frame.R_c2w @ ((Kinv @ np.array([u, v, 1.0])) * z) + frame.t_c2w
+            mp = MapPoint(p_w, color=_pixel_color(frame.get_image(0), xy[i]))
+            kf.add_map_point(0, int(i), mp)
+            self.map.add_map_point(mp)
+            created += 1
+        if created < self.min_inliers:
+            for key in list(kf.map_points):
+                kf.remove_map_point(*key)
+            return False
+        self.map.add_keyframe(kf)
+        self.logger.info("rgbd init: %d landmarks from one frame", created)
+        self.initialized = True
+        return True
 
     # -- mono two-view bootstrap (reference initializer.py:119-287) --------
     def _initialize_mono(self, frame_cur: Frame) -> bool:

@@ -86,7 +86,11 @@ class Tracking:
     def track(self, images, timestamp: float, depth=None) -> dict:
         state = self.state
         if state == State.NO_IMAGES_YET:
-            self._process_first_frame(images, timestamp, depth)
+            if self.config.camera.sensor_type == "monocular":
+                self._process_first_frame(images, timestamp, depth)
+            else:
+                # Stereo/RGBD have metric depth: initialize immediately.
+                self._try_initialize(images, timestamp, depth)
             return {"state": self.state.name}
         if state in (State.NOT_INITIALIZED, State.INITIALIZING):
             self._try_initialize(images, timestamp, depth)
@@ -156,12 +160,13 @@ class Tracking:
         return info
 
     def _create_frame(self, images, timestamp, depth) -> Frame:
-        """(reference _create_frame_mono, tracking.py:232-257)"""
-        image = images[0] if isinstance(images, (list, tuple)) else images
-        gray = image if image.ndim == 2 else _to_gray(image)
-        feats = self.tracker.detectAndCompute(gray)
+        """(reference _create_frame_mono, tracking.py:232-257; detects on
+        every camera for stereo pairs)"""
+        images = list(images) if isinstance(images, (list, tuple)) else [images]
+        grays = [im if im.ndim == 2 else _to_gray(im) for im in images]
+        feats = [self.tracker.detectAndCompute(g) for g in grays]
         frame = Frame(
-            images=[image], images_gray=[gray], features=[feats],
+            images=images, images_gray=grays, features=feats,
             timestamp=timestamp, depth=depth,
         )
         self.map.add_frame(frame)
