@@ -61,10 +61,44 @@ def main():
     frames, K_np = synth_kitti_frames()
     K = jnp.asarray(K_np)
     imgs = [jnp.asarray(f) for f in frames]
+    rng = np.random.default_rng(1)
+
+    # --- BA window latency FIRST: the axon relay inflates per-call dispatch
+    # of small executables once a large one is resident (~0.1ms solve reads
+    # as ~130ms after the tracking program runs; see CLAUDE.md).
+    Wk, M = 10, 4096
+    pts = np.stack(
+        [rng.uniform(-20, 30, M), rng.uniform(-8, 8, M), rng.uniform(8, 50, M)], 1
+    ).astype(np.float32)
+    T = np.tile(np.eye(4, dtype=np.float32), (Wk, 1, 1))
+    for j in range(Wk):
+        T[j, 0, 3] = -0.8 * j
+    uv = np.zeros((M, Wk, 2), np.float32)
+    valid = np.zeros((M, Wk), bool)
+    for j in range(Wk):
+        pc = pts @ T[j, :3, :3].T + T[j, :3, 3]
+        uv[:, j] = pc[:, :2] / np.maximum(pc[:, 2:3], 1e-6)
+        valid[:, j] = pc[:, 2] > 1.0
+    problem = BAProblem(
+        T_w2c=jnp.asarray(T),
+        points=jnp.asarray(pts + rng.normal(0, 0.05, pts.shape).astype(np.float32)),
+        uv=jnp.asarray(uv),
+        obs_valid=jnp.asarray(valid),
+        pose_valid=jnp.ones(Wk, bool),
+        pose_fixed=jnp.asarray([True] + [False] * (Wk - 1)),
+    )
+    huber = 5.0 / float(K_np[0, 0])
+    Tb, Xb, info = bundle_adjust(problem, n_iter=20, huber=huber)
+    jax.block_until_ready(Tb)
+    n_ba = 10
+    t0 = time.perf_counter()
+    for _ in range(n_ba):
+        Tb, Xb, info = bundle_adjust(problem, n_iter=20, huber=huber)
+    jax.block_until_ready(Tb)
+    ba_ms = (time.perf_counter() - t0) / n_ba * 1e3
 
     # Reference state: features of frame 0 + plausible landmark slots.
     feats0 = detect_and_describe(imgs[0], num_features=num_features, threshold=20.0, n_levels=4)
-    rng = np.random.default_rng(1)
     # Backproject the detected keypoints at plausible depths -> landmark per slot.
     xy = np.asarray(feats0.xy)
     z = rng.uniform(8, 40, num_features).astype(np.float32)
@@ -88,37 +122,6 @@ def main():
     jax.block_until_ready(out.T_w2c)
     dt = time.perf_counter() - t0
     fps = n_iter / dt
-
-    # BA window latency: W=10 KFs, M=4096 landmark slots, 20 LM iters.
-    Wk, M = 10, 4096
-    pts = np.stack(
-        [rng.uniform(-20, 30, M), rng.uniform(-8, 8, M), rng.uniform(8, 50, M)], 1
-    ).astype(np.float32)
-    T = np.tile(np.eye(4, dtype=np.float32), (Wk, 1, 1))
-    for j in range(Wk):
-        T[j, 0, 3] = -0.8 * j
-    uv = np.zeros((M, Wk, 2), np.float32)
-    valid = np.zeros((M, Wk), bool)
-    for j in range(Wk):
-        pc = pts @ T[j, :3, :3].T + T[j, :3, 3]
-        uv[:, j] = pc[:, :2] / np.maximum(pc[:, 2:3], 1e-6)
-        valid[:, j] = pc[:, 2] > 1.0
-    problem = BAProblem(
-        T_w2c=jnp.asarray(T),
-        points=jnp.asarray(pts + rng.normal(0, 0.05, pts.shape).astype(np.float32)),
-        uv=jnp.asarray(uv),
-        obs_valid=jnp.asarray(valid),
-        pose_valid=jnp.ones(Wk, bool),
-        pose_fixed=jnp.asarray([True] + [False] * (Wk - 1)),
-    )
-    Tb, Xb, info = bundle_adjust(problem, n_iter=20, huber=5.0 / float(K_np[0, 0]))
-    jax.block_until_ready(Tb)
-    n_ba = 10
-    t0 = time.perf_counter()
-    for _ in range(n_ba):
-        Tb, Xb, info = bundle_adjust(problem, n_iter=20, huber=5.0 / float(K_np[0, 0]))
-    jax.block_until_ready(Tb)
-    ba_ms = (time.perf_counter() - t0) / n_ba * 1e3
 
     print(
         json.dumps(
