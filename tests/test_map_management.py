@@ -1,0 +1,92 @@
+"""Map growth management: keyframe culling + landmark budget."""
+import numpy as np
+import jax.numpy as jnp
+
+from visual_slam_tpu.camera import PinholeCamera
+from visual_slam_tpu.config import Config
+from visual_slam_tpu.frontend.tracker import FeatureTracker
+from visual_slam_tpu.local_mapping import LocalMapping
+from visual_slam_tpu.map import KeyFrame, Map, MapPoint
+from visual_slam_tpu.ops.detector import Features
+from visual_slam_tpu.sensor_type import SensorType
+
+
+def _feats(rng, K=16):
+    return Features(
+        xy=jnp.asarray(rng.uniform(0, 100, (K, 2)), jnp.float32),
+        response=jnp.ones(K, jnp.float32),
+        angle=jnp.zeros(K, jnp.float32),
+        octave=jnp.zeros(K, jnp.int32),
+        size=jnp.full((K,), 31.0, jnp.float32),
+        desc=jnp.asarray(rng.integers(0, 2**32, (K, 8), dtype=np.uint32)),
+        valid=jnp.ones(K, bool),
+    )
+
+
+def _setup(rng, cfg=None):
+    cfg = cfg or Config()
+    K = np.array([[300.0, 0, 160], [0, 300.0, 120], [0, 0, 1]])
+    cam = PinholeCamera(320, 240, K)
+    m = Map()
+    lm = LocalMapping(cam, cfg, m, FeatureTracker(cfg.feature), SensorType.MONOCULAR)
+    return cfg, cam, m, lm
+
+
+def test_redundant_keyframe_culled(rng):
+    cfg, cam, m, lm = _setup(rng)
+    cfg.map.min_keyframes_before_cull = 4
+    # 6 KFs all observing the same 10 landmarks -> middle ones are redundant.
+    mps = [MapPoint(rng.uniform(-1, 1, 3)) for _ in range(10)]
+    for mp in mps:
+        m.add_map_point(mp)
+    kfs = []
+    for k in range(6):
+        kf = KeyFrame(features=[_feats(rng)], timestamp=0.1 * k)
+        for i, mp in enumerate(mps):
+            kf.add_map_point(0, i, mp)
+        m.add_keyframe(kf)
+        kfs.append(kf)
+    n_before = m.num_keyframes()
+    culled = lm.cull_redundant_keyframes()
+    assert culled > 0
+    assert m.num_keyframes() == n_before - culled
+    # survivors keep the landmarks alive
+    assert all(mp.num_observations() >= 3 for mp in mps)
+    # first and last two keyframes survive
+    ids = {kf.keyframe_id for kf in m.get_keyframes()}
+    assert kfs[0].keyframe_id in ids
+    assert kfs[-1].keyframe_id in ids and kfs[-2].keyframe_id in ids
+
+
+def test_unique_landmarks_not_culled(rng):
+    cfg, cam, m, lm = _setup(rng)
+    cfg.map.min_keyframes_before_cull = 4
+    kfs = []
+    for k in range(6):
+        kf = KeyFrame(features=[_feats(rng)], timestamp=0.1 * k)
+        # each KF observes its own unique landmarks
+        for i in range(5):
+            mp = MapPoint(rng.uniform(-1, 1, 3))
+            m.add_map_point(mp)
+            kf.add_map_point(0, i, mp)
+        m.add_keyframe(kf)
+        kfs.append(kf)
+    assert lm.cull_redundant_keyframes() == 0
+    assert m.num_keyframes() == 6
+
+
+def test_landmark_budget(rng):
+    cfg, cam, m, lm = _setup(rng)
+    kf = KeyFrame(features=[_feats(rng, 64)], timestamp=0.0)
+    m.add_keyframe(kf)
+    for i in range(50):
+        mp = MapPoint(rng.uniform(-1, 1, 3))
+        m.add_map_point(mp)
+        if i % 2 == 0:
+            kf.add_map_point(0, i % 64, mp)  # half get an observation
+    evicted = lm.enforce_landmark_budget(30)
+    assert evicted == 20
+    assert m.num_map_points() == 30
+    # observed landmarks preferred over orphans
+    obs_counts = [mp.num_observations() for mp in m.get_map_points()]
+    assert sum(1 for c in obs_counts if c > 0) >= 10

@@ -116,9 +116,14 @@ class LoopClosingConfig:
 
 @dataclass
 class MapConfig:
-    """(reference config.py:63-65)"""
+    """(reference config.py:63-65, plus growth management the reference
+    lacks — its _points/_keyframes grow unboundedly, SURVEY.md §5)"""
 
     max_frames: int = 5
+    cull_redundant_keyframes: bool = True
+    kf_redundancy_threshold: float = 0.9  # fraction seen by >= 3 other KFs
+    min_keyframes_before_cull: int = 8
+    max_landmarks: int = 0  # 0 = unlimited; else evict least-observed
 
 
 @dataclass

@@ -108,6 +108,11 @@ class LocalMapping:
         self.map.add_keyframe(kf)
         self.update_covisibility(kf)
         self.cull_bad_points()
+        mcfg = self.config.map
+        if mcfg.cull_redundant_keyframes:
+            stats["kf_culled"] = self.cull_redundant_keyframes(protect=kf)
+        if mcfg.max_landmarks > 0:
+            stats["lm_evicted"] = self.enforce_landmark_budget(mcfg.max_landmarks)
         return stats
 
     def update_covisibility(self, kf: KeyFrame) -> None:
@@ -142,3 +147,47 @@ class LocalMapping:
                 self.map.remove_map_point(mp)
                 removed += 1
         return removed
+
+    def cull_redundant_keyframes(self, protect: KeyFrame | None = None) -> int:
+        """ORB-SLAM-style keyframe culling: a KF whose landmarks are
+        overwhelmingly observed by >= 3 other keyframes is redundant
+        (bounds map growth — the reference grows unboundedly, SURVEY.md §5).
+        The newest two KFs and ``protect`` are never culled."""
+        mcfg = self.config.map
+        kfs = self.map.get_keyframes()
+        if len(kfs) < mcfg.min_keyframes_before_cull:
+            return 0
+        protected = {kfs[-1].keyframe_id, kfs[-2].keyframe_id}
+        if protect is not None:
+            protected.add(protect.keyframe_id)
+        if kfs:
+            protected.add(kfs[0].keyframe_id)  # gauge anchor
+        culled = 0
+        for kf in kfs[1:-2]:
+            if kf.keyframe_id in protected or kf.is_fixed:
+                continue
+            mps = [mp for mp in kf.map_points.values() if not mp.is_bad]
+            if not mps:
+                self.map.remove_keyframe(kf)
+                self.covisibility.pop(kf.keyframe_id, None)
+                culled += 1
+                continue
+            redundant = sum(1 for mp in mps if mp.num_observations() >= 4)
+            if redundant / len(mps) >= mcfg.kf_redundancy_threshold:
+                self.map.remove_keyframe(kf)
+                self.covisibility.pop(kf.keyframe_id, None)
+                culled += 1
+        if culled:
+            self.logger.debug("culled %d redundant keyframes", culled)
+        return culled
+
+    def enforce_landmark_budget(self, budget: int) -> int:
+        """Evict least-observed landmarks beyond the budget."""
+        mps = [mp for mp in self.map.get_map_points() if not mp.is_bad]
+        excess = len(mps) - budget
+        if excess <= 0:
+            return 0
+        mps.sort(key=lambda mp: (mp.num_observations(), mp.id))
+        for mp in mps[:excess]:
+            self.map.remove_map_point(mp)
+        return excess

@@ -1,0 +1,11 @@
+"""Pipeline families ("models") — discoverable, configured entry points over
+the framework, one per sensor/deployment mode:
+
+  * MonoVO    — monocular SLAM (two-view init, PnP tracking, LM-BA)
+  * StereoVO  — stereo SLAM (single-frame metric init, disparity landmarks)
+  * RGBDVO    — RGB-D SLAM (depth-map landmarks)
+  * CompiledVO — the fused device-resident per-frame step (bench/serving path)
+  * BatchedVO — data-parallel multi-sequence VO over a device mesh
+"""
+
+from .families import MonoVO, StereoVO, RGBDVO, CompiledVO, BatchedVO  # noqa: F401
