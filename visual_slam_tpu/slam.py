@@ -125,6 +125,32 @@ class SLAM:
         self.tracking.initializer.initialized = False
 
     # -- introspection -----------------------------------------------------
+    def metrics(self) -> dict:
+        """Observability snapshot (the reference logs counts to files only;
+        this is a structured export for dashboards/tests)."""
+        return {
+            "state": self.state.name,
+            "num_keyframes": self.map.num_keyframes(),
+            "num_map_points": self.map.num_map_points(),
+            "num_frames_buffered": self.map.num_frames(),
+            "mean_reprojection_error_px": self.map.compute_mean_reprojection_error(
+                self.camera.K
+            ),
+            "last_track": {
+                k: v
+                for k, v in self.tracking.last_track_info.items()
+                if isinstance(v, (int, float, bool, str))
+            },
+            "last_ba": {
+                k: v
+                for k, v in self.local_handler.last_result.items()
+                if isinstance(v, (int, float, bool, str))
+            },
+            "loops_closed": len(self.loop_closing.closed_loops)
+            if self.loop_closing is not None
+            else 0,
+        }
+
     def trajectory(self):
         """(frame_id, timestamp, T_w2c (4,4)) per keyframe, ordered."""
         import numpy as np
