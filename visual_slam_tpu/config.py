@@ -76,7 +76,7 @@ class TrackingConfig:
     kf_min_rotation_deg: float = 10.0
     kf_min_matches: int = 30
     # PnP budget
-    pnp_hypotheses: int = 256
+    pnp_hypotheses: int = 128
     pnp_threshold_px: float = 3.0
     match_ratio: float = 0.75
 

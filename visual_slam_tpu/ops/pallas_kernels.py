@@ -31,7 +31,7 @@ def _hamming_top2_kernel(
     b1_ref,  # (TILE1, 256) bf16 query bits
     pop1_ref,  # (TILE1, 1) f32
     v1_ref,  # (TILE1, 1) f32 query validity
-    b2_ref,  # (K2, 256) bf16 train bits (full, VMEM-resident)
+    b2t_ref,  # (256, K2) bf16 train bits, TRANSPOSED (Mosaic wants (M,K)@(K,N))
     pop2_ref,  # (K2, 1) f32
     v2_ref,  # (K2, 1) f32
     best_ref,  # out (TILE1, 1) f32
@@ -44,7 +44,7 @@ def _hamming_top2_kernel(
 ):
     i = pl.program_id(0)
     T1 = b1_ref.shape[0]
-    K2 = b2_ref.shape[0]
+    K2 = b2t_ref.shape[1]
 
     @pl.when(i == 0)
     def _():
@@ -59,12 +59,12 @@ def _hamming_top2_kernel(
     def body(t, carry):
         best, second, bidx = carry
         off = t * tile2
-        b2 = b2_ref[pl.ds(off, tile2), :]
+        b2t = b2t_ref[:, pl.ds(off, tile2)]
         pop2 = pop2_ref[pl.ds(off, tile2), 0]
         v2 = v2_ref[pl.ds(off, tile2), 0]
         dots = jax.lax.dot_general(
-            b1, b2,
-            dimension_numbers=(((1,), (1,)), ((), ())),
+            b1, b2t,
+            dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (T1, tile2)
         d = pop1[:, None] + pop2[None, :] - 2.0 * dots
@@ -126,7 +126,7 @@ def hamming_top2(
     K1p = -(-K1 // tile1) * tile1
     K2p = -(-K2 // tile2) * tile2
     b1 = jnp.zeros((K1p, bits1.shape[1]), bits1.dtype).at[:K1].set(bits1)
-    b2 = jnp.zeros((K2p, bits2.shape[1]), bits2.dtype).at[:K2].set(bits2)
+    b2t = jnp.zeros((bits2.shape[1], K2p), bits2.dtype).at[:, :K2].set(bits2.T)
     p1 = jnp.zeros((K1p, 1), jnp.float32).at[:K1, 0].set(pop1.astype(jnp.float32))
     p2 = jnp.zeros((K2p, 1), jnp.float32).at[:K2, 0].set(pop2.astype(jnp.float32))
     v1 = jnp.zeros((K1p, 1), jnp.float32).at[:K1, 0].set(valid1.astype(jnp.float32))
@@ -140,7 +140,7 @@ def hamming_top2(
             pl.BlockSpec((tile1, bits1.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile1, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile1, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((K2p, bits1.shape[1]), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bits1.shape[1], K2p), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((K2p, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((K2p, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
@@ -159,7 +159,7 @@ def hamming_top2(
             jax.ShapeDtypeStruct((K2p, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(b1, p1, v1, b2, p2, v2)
+    )(b1, p1, v1, b2t, p2, v2)
     best, second, bidx, colmin, colarg = out
     return (
         best[:K1, 0],
