@@ -115,6 +115,46 @@ def orientation_filter(
     return ok & keep[bins]
 
 
+def stereo_epipolar_filter(
+    xy1: jnp.ndarray,
+    xy2: jnp.ndarray,
+    ti: jnp.ndarray,
+    ok: jnp.ndarray,
+    row_tolerance: float = 2.0,
+    min_disparity: float = 0.0,
+    max_disparity: float = 1e9,
+) -> jnp.ndarray:
+    """Rectified-stereo consistency: same row, positive bounded disparity
+    (reference filter_matches_stereo, matching.py:192-228). xy1 = left,
+    xy2 = right (indexed by ti)."""
+    p2 = xy2[ti]
+    dv = jnp.abs(xy1[:, 1] - p2[:, 1])
+    disp = xy1[:, 0] - p2[:, 0]
+    return ok & (dv <= row_tolerance) & (disp > min_disparity) & (disp < max_disparity)
+
+
+def region_mask_filter(
+    xy: jnp.ndarray,
+    ok: jnp.ndarray,
+    regions: jnp.ndarray,
+    exclude: bool = True,
+) -> jnp.ndarray:
+    """Keep/drop matches whose QUERY keypoint falls in any of the given
+    axis-aligned regions (reference filter_matches_mask, matching.py:233-275).
+
+    regions: (R, 4) [x0, y0, x1, y1]; padded rows may be all-zero (ignored).
+    """
+    x, y = xy[:, 0], xy[:, 1]
+    x0, y0, x1, y1 = regions[:, 0], regions[:, 1], regions[:, 2], regions[:, 3]
+    nonempty = (x1 > x0) & (y1 > y0)
+    inside = (
+        (x[:, None] >= x0[None]) & (x[:, None] < x1[None])
+        & (y[:, None] >= y0[None]) & (y[:, None] < y1[None])
+        & nonempty[None]
+    ).any(axis=1)
+    return ok & (~inside if exclude else inside)
+
+
 @partial(jax.jit, static_argnames=("ratio", "cross_check", "use_orientation", "n_bins", "keep_bins", "max_distance"))
 def match_descriptors(
     desc1: jnp.ndarray,

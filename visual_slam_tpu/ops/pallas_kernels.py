@@ -66,6 +66,10 @@ def _hamming_top2_kernel(
             b1, b2t,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            # Explicit DEFAULT: the package-wide HIGHEST default would ask
+            # Mosaic for an fp32-contract on bf16 operands ("Bad lhs type");
+            # bf16 x bf16 -> f32-accumulate is exact for 0/1 bit vectors.
+            precision=jax.lax.Precision.DEFAULT,
         )  # (T1, tile2)
         d = pop1[:, None] + pop2[None, :] - 2.0 * dots
         valid = (v1[:, None] > 0) & (v2[None, :] > 0)
