@@ -12,8 +12,16 @@ Grid: sequential over K1 row-tiles (TPU grids iterate in order, so the
 column-minimum output can be accumulated across steps with a first-step
 init). Inside each step a fori_loop walks K2 tiles.
 
-Tested in interpreter mode on CPU against the XLA reference; used on TPU via
-``ops.matching.match_descriptors(..., use_pallas=True)``-style call sites.
+Tested in interpreter mode on CPU against the XLA reference (exact
+agreement) and verified compiling + matching on a real v5e.
+
+Status: the XLA matmul path (ops/matching.py) remains the production
+default — at K=2000 the (K,K) matrix is only 16 MB and XLA's fused
+matmul+top-k pipeline measured ~2 ms vs ~36 ms for this kernel through the
+axon relay (single-block VMEM residency + a serial fori_loop leave MXU
+utilization on the table). Kept as the scaling path for descriptor counts
+where the KxK materialization stops fitting, and as the in-repo Pallas
+reference pattern.
 """
 from __future__ import annotations
 
