@@ -113,6 +113,27 @@ def save_trajectory_kitti(keyframes, path: str | Path) -> None:
     Path(path).write_text("\n".join(lines) + "\n")
 
 
+def save_track_state(state, path: str | Path) -> None:
+    """Checkpoint the compiled pipeline's device-resident TrackState."""
+    import jax
+
+    leaves, treedef = jax.tree.flatten(state)
+    np.savez_compressed(path, *[np.asarray(l) for l in leaves])
+
+
+def load_track_state(path: str | Path):
+    """Restore a TrackState (pipeline.py) from npz."""
+    import jax.numpy as jnp
+
+    from ..ops.detector import Features
+    from ..pipeline import TrackState
+
+    z = np.load(path)
+    arrays = [jnp.asarray(z[k]) for k in z.files]
+    feats = Features(*arrays[:7])
+    return TrackState(feats, *arrays[7:])
+
+
 def load_trajectory_tum(path: str | Path) -> tuple[np.ndarray, np.ndarray]:
     """Returns (timestamps (N,), T_c2w (N, 4, 4))."""
     rows = np.loadtxt(str(path)).reshape(-1, 8)
