@@ -294,10 +294,11 @@ class Initializer:
         train_idx = np.asarray(res.train_idx)
         img_ref = frame_ref.get_image(0)
         xy_ref = np.asarray(res.features2.xy)
+        desc_ref = np.asarray(res.features2.desc)
         for n, i_cur in enumerate(sel):
             i_ref = int(train_idx[i_cur])
             color = _pixel_color(img_ref, xy_ref[i_ref])
-            mp = MapPoint(pts_sel[n], color=color)
+            mp = MapPoint(pts_sel[n], color=color, descriptor=desc_ref[i_ref])
             kf_ref.add_map_point(0, i_ref, mp)
             kf_cur.add_map_point(0, int(i_cur), mp)
             self.map.add_map_point(mp)

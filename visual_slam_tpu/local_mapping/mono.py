@@ -94,11 +94,12 @@ class MonoKeyframeHandler(BaseKeyframeHandler):
         pts_np = np.asarray(pts3d)
         img = nb.get_image(0)
         xy_nb = np.asarray(r.features2.xy)
+        desc_nb = np.asarray(r.features2.desc)
         created = 0
         for n in np.nonzero(good_np)[0]:
             i_kf, i_nb = tri_pairs[n]
             color = _pixel_color(img, xy_nb[i_nb])
-            mp = MapPoint(pts_np[n], color=color)
+            mp = MapPoint(pts_np[n], color=color, descriptor=desc_nb[i_nb])
             nb.add_map_point(0, i_nb, mp)
             kf.add_map_point(0, i_kf, mp)
             self.map.add_map_point(mp)

@@ -1,0 +1,75 @@
+"""Projection-guided landmark-to-keypoint matching, pure JAX.
+
+The ORB-SLAM "track local map" search the reference lacks (its tracking is
+descriptor-only against the latest keyframe, SURVEY.md §3.2 note): project
+every local-map landmark into the constant-velocity predicted pose, then
+match each landmark's descriptor against only the keypoints inside a pixel
+search window. On TPU the spatial gate is a mask over the same MXU Hamming
+matrix used everywhere else — no grids/buckets needed.
+
+Produces keypoint-slot-aligned 3D-2D candidates ready for RANSAC-PnP.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .matching import BIG, hamming_distance_matrix
+from .projection import project_points
+
+
+@partial(jax.jit, static_argnames=())
+def guided_match(
+    lm_pos: jnp.ndarray,  # (M, 3) landmark positions (world)
+    lm_desc: jnp.ndarray,  # (M, 8) packed descriptors
+    lm_valid: jnp.ndarray,  # (M,) bool
+    T_pred: jnp.ndarray,  # (4, 4) predicted T_w2c
+    K: jnp.ndarray,  # (3, 3)
+    kp_xy: jnp.ndarray,  # (Kp, 2) current keypoints (pixels)
+    kp_desc: jnp.ndarray,  # (Kp, 8)
+    kp_valid: jnp.ndarray,  # (Kp,) bool
+    width: float,
+    height: float,
+    radius_px: float = 15.0,
+    ratio: float = 0.8,
+    max_distance: float = 80.0,
+) -> dict:
+    """Returns keypoint-aligned association:
+    ``pts3d (Kp, 3)``, ``valid (Kp,) bool``, ``lm_idx (Kp,) int32``.
+    """
+    uv, z = project_points(K, T_pred, lm_pos)
+    visible = (
+        lm_valid
+        & (z > 0.1)
+        & (uv[:, 0] >= 0) & (uv[:, 0] < width)
+        & (uv[:, 1] >= 0) & (uv[:, 1] < height)
+    )
+    dist = hamming_distance_matrix(lm_desc, kp_desc, visible, kp_valid)  # (M, Kp)
+    # Spatial gate: landmark's predicted pixel vs keypoint position.
+    d2 = jnp.sum((uv[:, None, :] - kp_xy[None, :, :]) ** 2, axis=-1)
+    dist = jnp.where(d2 <= radius_px * radius_px, dist, BIG)
+
+    # Best + second keypoint per landmark (ratio test), then invert to a
+    # keypoint-aligned table keeping the lowest-distance landmark per kp.
+    neg2, idx2 = jax.lax.top_k(-dist, 2)
+    best = -neg2[:, 0]
+    second = -neg2[:, 1]
+    kp_of_lm = idx2[:, 0]
+    ok_lm = (best < BIG * 0.5) & (best <= max_distance)
+    ok_lm &= best < ratio * second
+
+    Kp = kp_xy.shape[0]
+    d_masked = jnp.where(ok_lm, best, BIG)
+    best_per_kp = jnp.full((Kp,), BIG).at[kp_of_lm].min(d_masked)
+    M = lm_pos.shape[0]
+    mi = jnp.arange(M)
+    winner = ok_lm & (d_masked <= best_per_kp[kp_of_lm] + 1e-6)
+    # Deterministic tie-break by landmark index.
+    best_lm_per_kp = jnp.full((Kp,), 1 << 30).at[kp_of_lm].min(jnp.where(winner, mi, 1 << 30))
+    lm_idx = jnp.where(best_lm_per_kp < (1 << 30), best_lm_per_kp, 0).astype(jnp.int32)
+    valid = best_lm_per_kp < (1 << 30)
+    pts3d = lm_pos[lm_idx]
+    return {"pts3d": pts3d, "valid": valid & kp_valid, "lm_idx": lm_idx,
+            "n_matches": jnp.sum(valid & kp_valid)}

@@ -156,6 +156,8 @@ class Tracking:
             info["new_keyframe"] = True
 
         self._update_tracking_state(frame)
+        info.pop("guided", None)  # internal association payload
+        info.pop("pnp_inliers", None)
         self.last_track_info = info
         return info
 
@@ -191,6 +193,51 @@ class Tracking:
         pts3d = ref_pos[ti]
         xy_obs = np.asarray(res.features1.xy)
         return res, pts3d, xy_obs, pair_valid
+
+    def _local_landmark_block(self, n_keyframes: int = 3, cap: int = 2048):
+        """Dense local-map landmark block (positions, descriptors, mask) from
+        the last-N keyframes, padded to a fixed capacity for stable jit
+        shapes. Feeds the projection-guided matcher."""
+        mps = {}
+        for kf in self.map.get_keyframes()[-n_keyframes:]:
+            for mp in kf.map_points.values():
+                if not mp.is_bad and mp.descriptor is not None:
+                    mps[id(mp)] = mp
+        pos = np.zeros((cap, 3), np.float32)
+        desc = np.zeros((cap, 8), np.uint32)
+        valid = np.zeros(cap, bool)
+        sel = list(mps.values())[:cap]
+        for i, mp in enumerate(sel):
+            pos[i] = mp.position
+            desc[i] = mp.descriptor
+            valid[i] = True
+        return pos, desc, valid, sel
+
+    def _track_guided(self, frame: Frame, n_keyframes: int = 3, radius_px: float = 25.0):
+        """Projection-guided local-map association (ops/guided_matching.py):
+        project landmarks into the motion-model predicted pose, match within
+        a pixel window. Returns (pts3d, xy_obs, pair_valid) keypoint-aligned."""
+        from .ops.guided_matching import guided_match
+
+        pos, desc, lvalid, landmarks = self._local_landmark_block(n_keyframes)
+        if not lvalid.any():
+            return None
+        feats = frame.get_features(0)
+        res = guided_match(
+            jnp.asarray(pos), jnp.asarray(desc), jnp.asarray(lvalid),
+            jnp.asarray(frame.T_w2c, jnp.float32),
+            jnp.asarray(self.camera.K, jnp.float32),
+            feats.xy, feats.desc, feats.valid,
+            float(self.camera.width), float(self.camera.height),
+            radius_px=radius_px,
+        )
+        return {
+            "pts3d": np.asarray(res["pts3d"]),
+            "xy": np.asarray(feats.xy),
+            "valid": np.asarray(res["valid"]),
+            "lm_idx": np.asarray(res["lm_idx"]),
+            "landmarks": landmarks,
+        }
 
     def _track_local_map(self, frame: Frame, n_keyframes: int = 3):
         """Gather 3D-2D candidates against the last-N keyframes (a true
@@ -314,10 +361,22 @@ class Tracking:
         """Promote to keyframe, inherit tracked landmarks, hand to local
         mapping (reference tracking.py:582-585)."""
         kf = KeyFrame.from_frame(frame)
-        if match_res is not None and self.reference_keyframe is not None:
+        pnp_inl = info.get("pnp_inliers")
+        guided = info.get("guided")
+        if guided is not None:
+            # Guided path: keypoint slot -> landmark identity directly.
+            ok = guided["valid"]
+            if pnp_inl is not None:
+                ok = ok & np.asarray(pnp_inl)
+            landmarks = guided["landmarks"]
+            lm_idx = guided["lm_idx"]
+            for i_cur in np.nonzero(ok)[0]:
+                mp = landmarks[int(lm_idx[i_cur])]
+                if not mp.is_bad:
+                    kf.add_map_point(0, int(i_cur), mp)
+        elif match_res is not None and self.reference_keyframe is not None:
             ti = np.asarray(match_res.train_idx)
             ok = np.asarray(match_res.valid)
-            pnp_inl = info.get("pnp_inliers")
             if pnp_inl is not None:
                 ok = ok & np.asarray(pnp_inl)
             for i_cur in np.nonzero(ok)[0]:
