@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from ..config import Config
 from ..map.keyframe import KeyFrame
 from ..map.map_point import MapPoint
-from .ba import BAProblem, bundle_adjust_robust, mean_reprojection_error
+from .ba import BAProblem, bundle_adjust_robust
 
 
 class BaseOptimizer(abc.ABC):

@@ -10,7 +10,7 @@ RANSAC-F runs the vmapped LO-RANSAC of ops/epipolar.py.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp

@@ -6,7 +6,6 @@ import numpy as np
 
 from ..camera import PinholeCamera
 from ..config import Config
-from ..sensor_type import SensorType
 from ..slam import SLAM
 
 

@@ -12,7 +12,6 @@ happens within this framework, and the parity target is geometry (SURVEY.md §7)
 """
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -7,7 +7,6 @@ whole multi-scale front-end compiles once per input resolution.
 """
 from __future__ import annotations
 
-import math
 
 import jax.numpy as jnp
 import jax

@@ -13,7 +13,7 @@ from __future__ import annotations
 from functools import partial
 
 import jax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..backend.ba import BAProblem, bundle_adjust
 

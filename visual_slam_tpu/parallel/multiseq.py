@@ -7,7 +7,6 @@ with zero cross-sequence communication; XLA partitions every kernel.
 """
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

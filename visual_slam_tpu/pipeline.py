@@ -11,7 +11,6 @@ with a single XLA executable.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax

@@ -11,8 +11,6 @@ reference's background-thread pipeline (slam.py:50-54).
 """
 from __future__ import annotations
 
-import logging
-from typing import Optional
 
 from .backend.optimizer import LMOptimizer
 from .camera import Camera
