@@ -56,6 +56,17 @@ def _next_pow2(n: int, lo: int = 64) -> int:
     return v
 
 
+def _bucket4(n: int, lo: int) -> int:
+    """Next bucket in a x4 ladder (lo, 4lo, 16lo, ...). Compiles are very
+    expensive on this stack (~1 min per BA shape through the TPU tunnel), so
+    shape buckets must be few: a x4 ladder gives at most 4 distinct landmark
+    shapes across a map growing 64 -> 16384."""
+    v = lo
+    while v < n:
+        v *= 4
+    return v
+
+
 class LMOptimizer(BaseOptimizer):
     """Levenberg-Marquardt + Schur bundle adjustment (the primary solver)."""
 
@@ -114,7 +125,7 @@ class LMOptimizer(BaseOptimizer):
         if fixed_flags is None:
             # Gauge: first KF frozen (reference torch_optimizer.py:54-57).
             fixed_flags = [j == 0 for j in range(len(keyframes))]
-        m_bucket = min(_next_pow2(len(map_points)), cfg.max_points)
+        m_bucket = min(_bucket4(len(map_points), lo=256), cfg.max_points)
         problem, used_points, kf_slot = self._pack(
             keyframes, map_points, w_bucket, m_bucket, fixed_flags
         )
@@ -180,7 +191,9 @@ class LMOptimizer(BaseOptimizer):
         fixed = [True] * len(anchors) + [False] * len(kfs)
         if not anchors:
             fixed[0] = True  # gauge
-        w_bucket = max(self.config.optimization.window_size, len(all_kfs))
+        w_bucket = _bucket4(
+            max(self.config.optimization.window_size, len(all_kfs)), lo=4
+        )
         return self._solve_and_writeback(all_kfs, pts, w_bucket=w_bucket, fixed_flags=fixed)
 
     def optimize_global(self, keyframes, map_points):
@@ -188,5 +201,5 @@ class LMOptimizer(BaseOptimizer):
         pts = [mp for mp in map_points if not mp.is_bad]
         if len(kfs) < 2 or len(pts) < 10:
             return {"skipped": True}
-        w_bucket = _next_pow2(len(kfs), lo=4)
+        w_bucket = _bucket4(len(kfs), lo=4)
         return self._solve_and_writeback(kfs, pts, w_bucket=w_bucket)

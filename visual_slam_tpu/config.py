@@ -105,6 +105,8 @@ class OptimizationConfig:
     window_size: int = 8  # keyframes per local BA window (padded bucket)
     max_points: int = 4096  # landmark capacity per window (padded bucket)
     lm_lambda0: float = 1e-3
+    ba_every_n_keyframes: int = 1  # throttle the BA handler trigger
+    log_reprojection_error: bool = True  # host-side metric around each BA
 
 
 @dataclass

@@ -21,6 +21,7 @@ class LocalHandler(BaseHandler):
         self.config = config
         self.window = max(config.optimization.window_size, config.local_mapping.max_neighbors)
         self.last_result: dict = {}
+        self._trigger_count = 0
 
     def step(self) -> None:
         """(reference local_handler.py:28-74)
@@ -29,15 +30,24 @@ class LocalHandler(BaseHandler):
         BA (every pose free — a compiled LM solve is milliseconds on TPU, so
         there is no reason to accept windowing drift on small maps); switch
         to sliding-window BA with fixed out-of-window anchors at scale."""
+        self._trigger_count += 1
+        every = max(self.config.optimization.ba_every_n_keyframes, 1)
+        if self._trigger_count % every != 0:
+            return
         all_kfs = self.map.get_keyframes()
         if len(all_kfs) <= 2:
             return
-        err_before = self.map.compute_mean_reprojection_error(self.camera.K)
+        log_err = self.config.optimization.log_reprojection_error
+        err_before = (
+            self.map.compute_mean_reprojection_error(self.camera.K) if log_err else -1.0
+        )
         if len(all_kfs) <= 2 * self.window:
             result = self.map.optimize_global(self.optimizer)
         else:
             result = self.map.optimize_local(self.optimizer, all_kfs[-self.window :])
-        err_after = self.map.compute_mean_reprojection_error(self.camera.K)
+        err_after = (
+            self.map.compute_mean_reprojection_error(self.camera.K) if log_err else -1.0
+        )
         result["reproj_before_px"] = err_before
         result["reproj_after_px"] = err_after
         self.last_result = result
