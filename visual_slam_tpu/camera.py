@@ -66,6 +66,10 @@ class Camera:
     def fov_x_deg(self) -> float:
         return float(np.rad2deg(2.0 * np.arctan2(self.width, 2.0 * self.fx)))
 
+    @property
+    def has_distortion(self) -> bool:
+        return bool(np.any(np.abs(self.D) > 1e-12))
+
     # -- projection (reference camera.py:118-158) --------------------------
     def project(self, pts3d_c: np.ndarray):
         """Camera-frame points -> (uv, depth)."""

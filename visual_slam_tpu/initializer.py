@@ -73,9 +73,14 @@ class Initializer:
 
     # -- frame intake (reference initializer.py:65-86) ---------------------
     def add_frame(self, images, timestamp: float, depth=None) -> Frame:
+        from .tracking import undistort_features
+
         images = list(images) if isinstance(images, (list, tuple)) else [images]
         grays = [im if im.ndim == 2 else _to_gray(im) for im in images]
-        feats = [self.tracker.detectAndCompute(g) for g in grays]
+        feats = [
+            undistort_features(self.tracker.detectAndCompute(g), self.camera)
+            for g in grays
+        ]
         frame = Frame(
             images=images,
             images_gray=grays,

@@ -163,10 +163,15 @@ class Tracking:
 
     def _create_frame(self, images, timestamp, depth) -> Frame:
         """(reference _create_frame_mono, tracking.py:232-257; detects on
-        every camera for stereo pairs)"""
+        every camera for stereo pairs). With a distorted camera, keypoint
+        coordinates are undistorted to ideal pinhole pixels once here, so
+        every downstream stage (matching gates, PnP, triangulation, BA)
+        operates in the rectified model — replaces the reference's scattered
+        cv2.undistortPoints calls (camera.py:160-169)."""
         images = list(images) if isinstance(images, (list, tuple)) else [images]
         grays = [im if im.ndim == 2 else _to_gray(im) for im in images]
         feats = [self.tracker.detectAndCompute(g) for g in grays]
+        feats = [undistort_features(f, self.camera) for f in feats]
         frame = Frame(
             images=images, images_gray=grays, features=feats,
             timestamp=timestamp, depth=depth,
@@ -415,3 +420,19 @@ class Tracking:
 
 def _to_gray(img: np.ndarray) -> np.ndarray:
     return (0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]).astype(np.float32)
+
+
+def undistort_features(feats, camera):
+    """Replace keypoint pixel coordinates with their ideal-pinhole positions
+    (no-op for distortion-free cameras)."""
+    if not camera.has_distortion:
+        return feats
+    from .ops.projection import undistort_pixels
+
+    xy_u = undistort_pixels(
+        jnp.asarray(camera.K, jnp.float32),
+        jnp.asarray(camera.Kinv, jnp.float32),
+        jnp.asarray(camera.D, jnp.float32),
+        feats.xy,
+    )
+    return feats._replace(xy=xy_u)
