@@ -73,15 +73,25 @@ class MonoKeyframeHandler(BaseKeyframeHandler):
         return reused, tri_pairs
 
     def _triangulate_new_points(self, kf: KeyFrame, nb: KeyFrame, r, tri_pairs) -> int:
-        """(reference mono.py:126-258)"""
+        """(reference mono.py:126-258)
+
+        The pair arrays are PADDED to the fixed per-frame feature capacity:
+        a dynamic pair count would give every keyframe a fresh jit shape and
+        a fresh multi-second compile (measured 23 s/KF on the TPU tunnel)."""
         if len(tri_pairs) < 2:
             return 0
         lcfg = self.config.local_mapping
-        idx_kf = np.array([p[0] for p in tri_pairs])
-        idx_nb = np.array([p[1] for p in tri_pairs])
+        cap = int(r.features1.xy.shape[0])
+        n = min(len(tri_pairs), cap)
+        idx_kf = np.zeros(cap, np.int32)
+        idx_nb = np.zeros(cap, np.int32)
+        pair_mask = np.zeros(cap, bool)
+        idx_kf[:n] = [p[0] for p in tri_pairs[:n]]
+        idx_nb[:n] = [p[1] for p in tri_pairs[:n]]
+        pair_mask[:n] = True
         Kinv = jnp.asarray(self.camera.Kinv, jnp.float32)
-        x_kf = normalize_points(Kinv, jnp.asarray(np.asarray(r.features1.xy)[idx_kf]))
-        x_nb = normalize_points(Kinv, jnp.asarray(np.asarray(r.features2.xy)[idx_nb]))
+        x_kf = normalize_points(Kinv, r.features1.xy[jnp.asarray(idx_kf)])
+        x_nb = normalize_points(Kinv, r.features2.xy[jnp.asarray(idx_nb)])
         T_kf = jnp.asarray(kf.T_w2c, jnp.float32)
         T_nb = jnp.asarray(nb.T_w2c, jnp.float32)
         pts3d, w_ok = tri_ops.triangulate_dlt(
@@ -90,7 +100,7 @@ class MonoKeyframeHandler(BaseKeyframeHandler):
         good = w_ok & tri_ops.depth_mask(T_nb, T_kf, pts3d, lcfg.min_depth, lcfg.max_depth)
         par = tri_ops.parallax_angles(T_nb, T_kf, pts3d)
         good &= par >= jnp.deg2rad(lcfg.min_parallax_deg)
-        good_np = np.asarray(good)
+        good_np = np.asarray(good) & pair_mask
         pts_np = np.asarray(pts3d)
         img = nb.get_image(0)
         xy_nb = np.asarray(r.features2.xy)
