@@ -1,0 +1,51 @@
+"""CompiledSLAM: full SLAM over the fused tracking step."""
+import numpy as np
+import pytest
+
+from visual_slam_tpu.models import CompiledSLAM
+from visual_slam_tpu.camera import PinholeCamera
+from visual_slam_tpu.state import State
+from visual_slam_tpu.utils.metrics import ate_rmse
+
+from render import render_sequence
+from test_slam_e2e import small_config
+
+
+@pytest.fixture(scope="module")
+def run():
+    rng = np.random.default_rng(42)
+    frames, Ts_gt, K, world = render_sequence(rng, n_frames=14, step=0.3)
+    cfg = small_config()
+    cam = PinholeCamera(width=frames[0].shape[1], height=frames[0].shape[0], K=K)
+    slam = CompiledSLAM(cam, cfg)
+    infos = [slam.track([img], timestamp=i * 0.1) for i, img in enumerate(frames)]
+    slam.shutdown()
+    return slam, infos, Ts_gt
+
+
+def test_compiled_slam_tracks(run):
+    slam, infos, Ts_gt = run
+    assert slam.state == State.OK, [i["state"] for i in infos]
+    assert slam.map.num_keyframes() >= 3
+    assert slam.map.num_map_points() > 80
+    assert any(i.get("new_keyframe") for i in infos)
+
+
+def test_compiled_slam_per_frame_poses(run):
+    slam, infos, Ts_gt = run
+    # Every frame from initialization onward got a pose (keyframes AND
+    # regular frames); pre-init buffer frames don't.
+    assert len(slam.poses) >= 12
+    ts = [p[0] for p in slam.poses]
+    assert ts == sorted(ts)
+
+
+def test_compiled_slam_trajectory(run):
+    slam, infos, Ts_gt = run
+    # Per-frame trajectory vs GT (skip the pre-init frames).
+    idx = [int(round(t / 0.1)) for t, _ in slam.poses]
+    est = np.stack([-T[:3, :3].T @ T[:3, 3] for _, T in slam.poses])
+    gt = np.stack([-Ts_gt[i][:3, :3].T @ Ts_gt[i][:3, 3] for i in idx])
+    res = ate_rmse(est, gt, align_scale=True)
+    # 14 frames x 0.3 step = 4.2 path; allow 8% on the crude renderer.
+    assert res["rmse"] < 0.35, res

@@ -9,3 +9,4 @@ the framework, one per sensor/deployment mode:
 """
 
 from .families import MonoVO, StereoVO, RGBDVO, CompiledVO, BatchedVO  # noqa: F401
+from .compiled_slam import CompiledSLAM  # noqa: F401
