@@ -172,7 +172,7 @@ class LMOptimizer(BaseOptimizer):
         for kf in kfs:
             for mp in kf.map_points.values():
                 if not mp.is_bad:
-                    points[id(mp)] = mp
+                    points[mp.id] = mp
         if len(points) < 10:  # (reference torch_optimizer.py:99-101 bails <10 obs)
             return {"skipped": True}
         return self._solve_and_writeback(kfs, list(points.values()), w_bucket=2)

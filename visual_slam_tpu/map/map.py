@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import threading
 from collections import deque
-from typing import Deque, List, Optional, Set
+from typing import Deque, Dict, List, Optional
 
 import numpy as np
 
@@ -24,7 +24,10 @@ class Map:
         self._lock = threading.RLock()
         self._frames: Deque[Frame] = deque(maxlen=max_frames)
         self._keyframes: List[KeyFrame] = []
-        self._points: Set[MapPoint] = set()
+        # Keyed by landmark id (insertion-ordered): iteration order must be
+        # deterministic — a set here would make BA packing order depend on
+        # object addresses and results vary run to run.
+        self._points: Dict[int, MapPoint] = {}
 
     # -- frames ------------------------------------------------------------
     def add_frame(self, frame: Frame) -> None:
@@ -70,11 +73,11 @@ class Map:
     # -- landmarks ---------------------------------------------------------
     def add_map_point(self, mp: MapPoint) -> None:
         with self._lock:
-            self._points.add(mp)
+            self._points[mp.id] = mp
 
     def remove_map_point(self, mp: MapPoint) -> None:
         with self._lock:
-            self._points.discard(mp)
+            self._points.pop(mp.id, None)
             mp.set_bad()
             for kf in self._keyframes:
                 for key, val in list(kf.map_points.items()):
@@ -83,7 +86,7 @@ class Map:
 
     def get_map_points(self) -> List[MapPoint]:
         with self._lock:
-            return list(self._points)
+            return list(self._points.values())
 
     def num_map_points(self) -> int:
         with self._lock:
@@ -122,7 +125,7 @@ class Map:
         for kf in kfs:
             for mp in kf.map_points.values():
                 if not mp.is_bad:
-                    points[id(mp)] = mp
+                    points[mp.id] = mp
         # Out-of-window keyframes observing window landmarks join as fixed
         # anchors so landmark updates cannot degrade the rest of the map.
         window_ids = {kf.keyframe_id for kf in kfs}

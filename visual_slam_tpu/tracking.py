@@ -207,7 +207,7 @@ class Tracking:
         for kf in self.map.get_keyframes()[-n_keyframes:]:
             for mp in kf.map_points.values():
                 if not mp.is_bad and mp.descriptor is not None:
-                    mps[id(mp)] = mp
+                    mps[mp.id] = mp
         pos = np.zeros((cap, 3), np.float32)
         desc = np.zeros((cap, 8), np.uint32)
         valid = np.zeros(cap, bool)
