@@ -74,6 +74,8 @@ class CompiledSLAM:
     # ------------------------------------------------------------------ API
     def track(self, images, timestamp: float, depth=None) -> dict:
         img = images[0] if isinstance(images, (list, tuple)) else images
+        if self.state == State.LOST:
+            return self._relocalize(img, timestamp)
         if self.state != State.OK:
             return self._bootstrap(img, timestamp, depth)
         return self._track_compiled(img, timestamp)
@@ -101,6 +103,27 @@ class CompiledSLAM:
             self._install_reference(kf, T_init=kf.T_w2c)
             self.poses.append((timestamp, np.asarray(kf.T_w2c)))
         return {"state": self.state.name}
+
+    def _relocalize(self, img, timestamp) -> dict:
+        """LOST recovery: retry the compiled step against each recent
+        keyframe's reference block (the step IS a PnP relocalization when
+        given a candidate reference)."""
+        tcfg = self.config.tracking
+        for kf in reversed(self.map.get_keyframes()[-5:]):
+            self._install_reference(kf, T_init=kf.T_w2c)
+            self._track_state, out = self._step(
+                self._track_state, jnp.asarray(img, jnp.float32)
+            )
+            n_inl = int(out.n_inliers)
+            if n_inl >= tcfg.min_inliers:
+                self.state = State.OK
+                T = np.asarray(out.T_w2c, np.float64)
+                self.poses.append((timestamp, T))
+                self.logger.info("relocalized against KF %d (%d inliers)",
+                                 kf.keyframe_id, n_inl)
+                return {"state": self.state.name, "relocalized": True,
+                        "n_inliers": n_inl}
+        return {"state": self.state.name, "relocalized": False}
 
     def _install_reference(self, kf: KeyFrame, T_init: np.ndarray) -> None:
         pos, mask = kf.point_arrays(0)
