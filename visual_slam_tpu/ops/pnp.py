@@ -157,6 +157,17 @@ def ransac_pnp(
         return pnp_dlt(pts3d[sample_idx], xy[sample_idx], w)
 
     Rs, ts = jax.vmap(fit)(idx)
+
+    # Per-hypothesis local optimization (vmapped LO-RANSAC, like the
+    # essential solver): two Huber-GN steps over the full correspondence set
+    # turn noisy minimal DLT fits into strong candidates, so a small
+    # hypothesis budget suffices.
+    mask_f = mask.astype(xy.dtype)
+
+    def local_opt(R, t):
+        return refine_pose_gn(R, t, pts3d, xy, mask_f, iters=2, huber=4.0 * thresh)
+
+    Rs, ts = jax.vmap(local_opt)(Rs, ts)
     errs = jax.vmap(lambda R, t: _reproj_err2(R, t, pts3d, xy))(Rs, ts)  # (H, N)
     t2 = thresh * thresh
     cost = jnp.where(mask[None, :], jnp.minimum(errs, t2), 0.0).sum(axis=-1)
