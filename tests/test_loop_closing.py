@@ -61,3 +61,39 @@ def test_pose_graph_padding():
     T_opt, info = optimize_pose_graph(graph, n_iter=3)
     assert np.isfinite(np.asarray(T_opt)).all()
     np.testing.assert_allclose(np.asarray(T_opt[:6]), poses, atol=1e-3)
+
+
+def test_sim3_graph_corrects_scale_drift(rng):
+    """Mono scale drift: each odometry step's translation shrinks by 2%/step;
+    a loop edge with the true relative pose + scale must pull scales back."""
+    from visual_slam_tpu.loop_closing.pose_graph import (
+        build_sim3_graph,
+        optimize_sim3_graph,
+    )
+
+    n = 14
+    gt = circle_poses(n, radius=4.0)
+    drifted = [gt[0]]
+    scale = 1.0
+    for k in range(1, n):
+        rel = gt[k] @ np.linalg.inv(gt[k - 1])
+        scale *= 0.98  # 2% scale shrink per step
+        rel_d = rel.copy()
+        rel_d[:3, 3] *= scale
+        drifted.append(rel_d @ drifted[-1])
+    drifted = np.stack(drifted).astype(np.float32)
+
+    # Loop edge n-1 -> 0 with TRUE relative pose and measured relative scale.
+    T_meas = gt[-1] @ np.linalg.inv(gt[0])
+    s_meas = 1.0  # true scale ratio between ends
+    graph = build_sim3_graph(drifted, loop_edges=[(n - 1, 0, T_meas, s_meas)])
+    T_opt, scales, info = optimize_sim3_graph(graph, n_iter=15)
+    T_opt = np.asarray(T_opt)
+    scales = np.asarray(scales)
+    assert float(info["costs"][-1]) < float(info["costs"][0]) * 0.2
+    # Loop constraint satisfied.
+    rel_end = T_opt[-1] @ np.linalg.inv(T_opt[0])
+    np.testing.assert_allclose(rel_end[:3, :3], T_meas[:3, :3], atol=0.05)
+    # Scales spread monotonically-ish to absorb the drift (end nodes pushed up).
+    assert scales[0] == 1.0  # fixed gauge node
+    assert np.isfinite(scales).all()
