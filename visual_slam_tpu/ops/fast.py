@@ -90,27 +90,31 @@ def fast_scores(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
 
 
 def nms(scores: jnp.ndarray, window: int = 3) -> jnp.ndarray:
-    """3x3 (or window^2) non-max suppression: keep strict local maxima.
+    """3x3 (or window^2) non-max suppression: keep local maxima.
 
-    Ties inside a window are broken toward the lexicographically first pixel
-    so plateaus don't produce duplicate corners.
+    Exact tie-break toward the lexicographically first pixel (two pooling
+    passes: max score, then min index among the tied maxima) so plateaus
+    don't produce duplicate corners and scores are never perturbed.
     """
     H, W = scores.shape
-    # Tiny index-based tiebreak, strictly smaller than any score step.
-    idx = (
-        jax.lax.broadcasted_iota(jnp.float32, (H, W), 0) * W
-        + jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
-    )
-    keyed = scores - idx * 1e-6
     pooled = jax.lax.reduce_window(
-        keyed,
-        -jnp.inf,
-        jax.lax.max,
-        (window, window),
-        (1, 1),
-        "SAME",
+        scores, -jnp.inf, jax.lax.max, (window, window), (1, 1), "SAME"
     )
-    return jnp.where((keyed >= pooled) & (scores > 0.0), scores, 0.0)
+    is_max = (scores >= pooled) & (scores > 0.0)
+    idx = (
+        jax.lax.broadcasted_iota(jnp.int32, (H, W), 0) * W
+        + jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    )
+    big = jnp.int32(H * W + 1)
+    tie_idx = jnp.where(is_max, idx, big)
+    pooled_idx = jax.lax.reduce_window(
+        tie_idx, big, jax.lax.min, (window, window), (1, 1), "SAME"
+    )
+    # A tied candidate survives only if no same-score maximum with a smaller
+    # index sits in its window AND that smaller-index max has the same score
+    # (a strictly-greater neighbour already failed is_max).
+    keep = is_max & (idx <= pooled_idx)
+    return jnp.where(keep, scores, 0.0)
 
 
 def top_k_grid(
