@@ -27,7 +27,12 @@ from ..map import KeyFrame, Map
 from ..ops import matching as m_ops
 from ..ops.pnp import ransac_pnp
 from ..ops.projection import normalize_points
-from .pose_graph import build_sequential_graph, optimize_pose_graph
+from .pose_graph import (
+    build_sequential_graph,
+    build_sim3_graph,
+    optimize_pose_graph,
+    optimize_sim3_graph,
+)
 
 
 class LoopClosing:
@@ -108,9 +113,16 @@ class LoopClosing:
         return {"T_kf_corrected": T_corrected, "n_inliers": n_inl}
 
     # -- closure -----------------------------------------------------------
-    def close(self, kf: KeyFrame, detection: dict) -> dict:
+    def close(self, kf: KeyFrame, detection: dict, use_sim3: bool = True) -> dict:
         """Apply a verified loop: pose-graph optimization over all keyframes
-        with the loop edge, then optional global BA."""
+        with the loop edge, then optional global BA.
+
+        Mono scale drift is handled with the Sim(3) graph: the measured
+        relative scale comes from comparing the drifted-map baseline
+        ||C_i - C_j|| against the PnP-corrected baseline (both in the old
+        map's scale at node j), and each keyframe's landmark cloud is
+        re-scaled about its camera center by the optimized node scale.
+        """
         kfs = self.map.get_keyframes()
         idx = {k.keyframe_id: i for i, k in enumerate(kfs)}
         i = idx[kf.keyframe_id]
@@ -118,11 +130,49 @@ class LoopClosing:
         # Edge measurement: corrected relative pose T_i @ inv(T_j) with the
         # PnP-corrected pose for node i.
         T_i_corr = detection["T_kf_corrected"]
-        T_meas = T_i_corr @ np.linalg.inv(kfs[j].T_w2c)
+        T_j = kfs[j].T_w2c
+        T_meas = T_i_corr @ np.linalg.inv(T_j)
         poses = np.stack([k.T_w2c for k in kfs]).astype(np.float32)
-        graph = build_sequential_graph(poses, loop_edges=[(i, j, T_meas)])
-        T_opt, info = optimize_pose_graph(graph, n_iter=10)
+
+        def center(T):
+            return -T[:3, :3].T @ T[:3, 3]
+
+        d_drift = float(np.linalg.norm(center(kfs[i].T_w2c) - center(T_j)))
+        d_corr = float(np.linalg.norm(center(T_i_corr) - center(T_j)))
+        s_meas = d_drift / max(d_corr, 1e-9) if d_corr > 1e-6 else 1.0
+        s_meas = float(np.clip(s_meas, 0.2, 5.0))
+
+        if use_sim3:
+            graph = build_sim3_graph(poses, loop_edges=[(i, j, T_meas, s_meas)])
+            T_opt, scales, info = optimize_sim3_graph(graph, n_iter=10)
+            scales = np.asarray(scales, np.float64)
+        else:
+            graph = build_sequential_graph(poses, loop_edges=[(i, j, T_meas)])
+            T_opt, info = optimize_pose_graph(graph, n_iter=10)
+            scales = np.ones(len(kfs))
         T_opt = np.asarray(T_opt, np.float64)
+
+        # Landmark correction: re-express each landmark in its first
+        # observing KF's OLD camera frame, scale by that node's factor, map
+        # out through the NEW pose (the ORB-SLAM loop-correction recipe).
+        kf_row = {k.keyframe_id: r for r, k in enumerate(kfs)}
+        T_old = poses.astype(np.float64)
+        corrected = 0
+        for mp in self.map.get_map_points():
+            if mp.is_bad:
+                continue
+            obs_kfs = mp.observations.get_keyframe_ids()
+            rows = [kf_row[k] for k in obs_kfs if k in kf_row]
+            if not rows:
+                continue
+            r = min(rows)  # first (oldest) observing keyframe
+            x_cam = T_old[r, :3, :3] @ mp.position + T_old[r, :3, 3]
+            x_cam *= scales[r]
+            R_new = T_opt[r, :3, :3]
+            X_new = R_new.T @ (x_cam - T_opt[r, :3, 3])
+            mp.update_position(X_new)
+            corrected += 1
+
         for k, kfr in enumerate(kfs):
             kfr.update_pose(T_opt[k])
         self.closed_loops.append((kf.keyframe_id, detection["candidate"].keyframe_id))
@@ -131,7 +181,12 @@ class LoopClosing:
             kf.keyframe_id, detection["candidate"].keyframe_id,
             detection["n_inliers"], float(info["cost"]),
         )
-        result = {"pose_graph_cost": float(info["cost"]), "loop": (i, j)}
+        result = {
+            "pose_graph_cost": float(info["cost"]),
+            "loop": (i, j),
+            "scale_meas": s_meas,
+            "landmarks_corrected": corrected,
+        }
         if self.optimizer is not None:
             result["global_ba"] = self.map.optimize_global(self.optimizer)
         return result
