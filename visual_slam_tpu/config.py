@@ -79,6 +79,9 @@ class TrackingConfig:
     pnp_hypotheses: int = 128
     pnp_threshold_px: float = 3.0
     match_ratio: float = 0.75
+    # Fuse detect+guided-match+PnP into one device program per frame
+    # (trackingalgorithm.FusedMonoTracking)
+    fused_pipeline: bool = False
 
 
 @dataclass

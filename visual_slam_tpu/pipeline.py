@@ -136,6 +136,88 @@ def make_track_step(
     return track_step
 
 
+def make_frame_step(
+    K: jnp.ndarray,
+    width: float,
+    height: float,
+    num_features: int = 2000,
+    fast_threshold: float = 20.0,
+    n_levels: int = 4,
+    scale: float = 1.2,
+    grid: int = 8,
+    pnp_hypotheses: int = 128,
+    pnp_threshold_px: float = 3.0,
+    guided_radius_px: float = 25.0,
+    guided_ratio: float = 0.8,
+):
+    """Fused host-pipeline frame step: detect -> projection-guided landmark
+    association -> RANSAC-PnP (+ predicted-pose GN fallback), ONE jitted
+    program. Unlike ``make_track_step`` it takes the local-map landmark
+    block and the predicted pose explicitly, so the host Tracking state
+    machine can drive it while paying a single dispatch per frame.
+
+    Returns fn(img, lm_pos (M,3), lm_desc (M,8) u32, lm_valid (M,),
+    T_pred (4,4), key) -> dict(features, T_w2c, n_inliers, pair_valid,
+    lm_idx, pnp_inliers, ok).
+    """
+    from .ops.guided_matching import guided_match
+
+    Kinv = jnp.linalg.inv(K)
+    focal = K[0, 0]
+    thresh = pnp_threshold_px / focal
+
+    @jax.jit
+    def _frame_step(img, lm_pos, lm_desc, lm_valid, T_pred, key, sampling):
+        feats = detect_and_describe_with_sampling(
+            img, sampling,
+            num_features=num_features, threshold=fast_threshold,
+            n_levels=n_levels, scale=scale, grid=grid,
+        )
+        g = guided_match(
+            lm_pos, lm_desc, lm_valid, T_pred, K,
+            feats.xy, feats.desc, feats.valid, width, height,
+            radius_px=guided_radius_px, ratio=guided_ratio,
+        )
+        pts3d = g["pts3d"]
+        pair_valid = g["valid"]
+        xy_norm = normalize_points(Kinv, feats.xy)
+        res = ransac_pnp(
+            pts3d, xy_norm, pair_valid, key,
+            n_hyp=pnp_hypotheses, thresh=thresh,
+        )
+        R_f, t_f = refine_pose_gn(
+            T_pred[:3, :3], T_pred[:3, 3], pts3d, xy_norm,
+            pair_valid.astype(jnp.float32), iters=8, huber=thresh,
+        )
+        err_f = _reproj_err2(R_f, t_f, pts3d, xy_norm)
+        inl_f = (err_f < thresh * thresh) & pair_valid
+        use_fallback = jnp.sum(inl_f) > res["n_inliers"]
+        R = jnp.where(use_fallback, R_f, res["R"])
+        t = jnp.where(use_fallback, t_f, res["t"])
+        inliers = jnp.where(use_fallback, inl_f, res["inliers"])
+        n_inl = jnp.sum(inliers)
+        T = jnp.eye(4, dtype=jnp.float32).at[:3, :3].set(R).at[:3, 3].set(t)
+        return {
+            "features": feats,
+            "T_w2c": T,
+            "n_inliers": n_inl,
+            "pair_valid": pair_valid,
+            "lm_idx": g["lm_idx"],
+            "pnp_inliers": inliers,
+            "ok": n_inl >= 6,
+        }
+
+    def frame_step(img, lm_pos, lm_desc, lm_valid, T_pred, key):
+        from .ops import orb as orb_ops
+
+        return _frame_step(
+            img, lm_pos, lm_desc, lm_valid, T_pred, key, orb_ops.sampling_matrix()
+        )
+
+    frame_step.jitted = _frame_step
+    return frame_step
+
+
 def init_track_state(
     ref_feats: Features,
     ref_landmarks: jnp.ndarray,

@@ -66,9 +66,12 @@ class Tracking:
         self.last_keyframe_frame_id = -1
         self._key = jax.random.PRNGKey(13)
         self.last_track_info: dict = {}
-        from .trackingalgorithm import MonoTracking
+        from .trackingalgorithm import FusedMonoTracking, MonoTracking
 
-        self.algorithm = MonoTracking()  # pluggable strategy (trackingalgorithm/)
+        # Pluggable strategy (trackingalgorithm/).
+        self.algorithm = (
+            FusedMonoTracking() if config.tracking.fused_pipeline else MonoTracking()
+        )
 
     # -- state proxied to the SLAM facade (reference tracking.py:81-87) ----
     @property
@@ -134,10 +137,7 @@ class Tracking:
     def _track_mono(self, images, timestamp, depth) -> dict:
         kf_ref = self.map.get_last_keyframe()
         self.reference_keyframe = kf_ref
-        frame = self._create_frame(images, timestamp, depth)
-        self._predict_pose(frame)
-
-        info = self.algorithm.track_frame(self, frame)
+        frame, info = self.algorithm.process(self, images, timestamp, depth)
         match_res = info.pop("match_res", None)
 
         good = self._is_tracking_good(info)

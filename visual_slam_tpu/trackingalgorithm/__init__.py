@@ -10,3 +10,4 @@ alternatives (e.g. direct/semi-dense methods) can be swapped in via
 
 from .base import BaseTrackingAlgorithm  # noqa: F401
 from .mono_tracking import MonoTracking  # noqa: F401
+from .fused_mono import FusedMonoTracking  # noqa: F401

@@ -11,3 +11,11 @@ class BaseTrackingAlgorithm(abc.ABC):
 
     @abc.abstractmethod
     def track_frame(self, tracking, frame) -> dict: ...
+
+    def process(self, tracking, images, timestamp, depth):
+        """Full per-frame flow: frame creation + pose prediction +
+        track_frame. Strategies that fuse detection into their device program
+        (FusedMonoTracking) override this entirely. Returns (frame, info)."""
+        frame = tracking._create_frame(images, timestamp, depth)
+        tracking._predict_pose(frame)
+        return frame, self.track_frame(tracking, frame)

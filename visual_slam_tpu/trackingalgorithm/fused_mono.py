@@ -1,0 +1,126 @@
+"""Fused monocular strategy: the whole per-frame device work — detection,
+projection-guided landmark association, RANSAC-PnP, predicted-pose fallback —
+is ONE jitted program (pipeline.make_frame_step), so the host state machine
+pays a single dispatch per frame instead of 3-4. The brute descriptor path
+remains as a host-side retry for frames where the motion prediction poisons
+the guided associations.
+
+Requires a distortion-free (or pre-rectified) camera; Tracking falls back to
+the modular MonoTracking otherwise.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .base import BaseTrackingAlgorithm
+from .mono_tracking import MonoTracking
+
+
+class FusedMonoTracking(BaseTrackingAlgorithm):
+    def __init__(self, n_local_keyframes: int = 3, landmark_cap: int = 2048):
+        self.n_local_keyframes = n_local_keyframes
+        self.landmark_cap = landmark_cap
+        self._step = None
+        self._key = jax.random.PRNGKey(31)
+        self._fallback = MonoTracking(n_local_keyframes, use_guided=False)
+
+    def _get_step(self, tracking):
+        if self._step is None:
+            from ..pipeline import make_frame_step
+
+            cam = tracking.camera
+            fcfg = tracking.config.feature
+            tcfg = tracking.config.tracking
+            self._step = make_frame_step(
+                jnp.asarray(cam.K, jnp.float32),
+                float(cam.width), float(cam.height),
+                num_features=fcfg.num_features,
+                fast_threshold=fcfg.fast_threshold,
+                n_levels=fcfg.num_pyramid_levels,
+                scale=fcfg.scale_factor,
+                grid=fcfg.grid_cells,
+                pnp_hypotheses=tcfg.pnp_hypotheses,
+                pnp_threshold_px=tcfg.pnp_threshold_px,
+            )
+        return self._step
+
+    def track_frame(self, tracking, frame) -> dict:  # pragma: no cover - unused
+        return self._fallback.track_frame(tracking, frame)
+
+    def process(self, tracking, images, timestamp, depth):
+        from ..map import Frame
+
+        if tracking.camera.has_distortion:
+            return super().process(tracking, images, timestamp, depth)
+
+        step = self._get_step(tracking)
+        image = images[0] if isinstance(images, (list, tuple)) else images
+        gray = image if image.ndim == 2 else _to_gray(image)
+        pos, desc, lvalid, landmarks = tracking._local_landmark_block(
+            self.n_local_keyframes, cap=self.landmark_cap
+        )
+        T_pred = (
+            tracking.motion_model @ tracking.last_frame.T_w2c
+            if tracking.last_frame is not None
+            else np.eye(4)
+        )
+        self._key, sub = jax.random.split(self._key)
+        out = step(
+            jnp.asarray(gray, jnp.float32),
+            jnp.asarray(pos), jnp.asarray(desc), jnp.asarray(lvalid),
+            jnp.asarray(T_pred, jnp.float32), sub,
+        )
+        feats = out["features"]
+        frame = Frame(
+            images=[image], images_gray=[gray], features=[feats],
+            timestamp=timestamp, depth=depth,
+        )
+        tracking.map.add_frame(frame)
+        tracking.current_frame = frame
+
+        pair_valid = np.asarray(out["pair_valid"])
+        n_candidates = int(pair_valid.sum())
+        n_inl = int(out["n_inliers"])
+        info = {
+            "n_guided": n_candidates,
+            "n_matches": n_candidates,
+            "n_3d2d": n_candidates,
+            "n_inliers": n_inl,
+            "inlier_ratio": n_inl / max(n_candidates, 1),
+            "ok": bool(out["ok"]),
+            "pnp_inliers": np.asarray(out["pnp_inliers"]),
+            "guided": {
+                "valid": pair_valid,
+                "lm_idx": np.asarray(out["lm_idx"]),
+                "landmarks": landmarks,
+            },
+            "match_res": None,
+        }
+        if info["ok"]:
+            frame.update_pose(np.asarray(out["T_w2c"], np.float64))
+
+        # Host-side retry with brute descriptor matching when the fused
+        # (prediction-gated) association failed the quality gates.
+        if not tracking._is_tracking_good(info):
+            match_res, pts3d_b, xy_b, valid_b = tracking._track_local_map(
+                frame, n_keyframes=self.n_local_keyframes
+            )
+            n_b = int(np.asarray(valid_b).sum())
+            if n_b >= 6:
+                retry = tracking._optimize_pose(frame, pts3d_b, xy_b, valid_b)
+                if retry.get("n_inliers", 0) > info.get("n_inliers", 0):
+                    info.pop("guided", None)
+                    info.update(retry)
+                    info.update({
+                        "n_matches": match_res.n_matches,
+                        "n_3d2d": n_b,
+                        "match_res": match_res,
+                        "inlier_ratio": retry["n_inliers"] / max(n_b, 1),
+                    })
+        return frame, info
+
+
+def _to_gray(img):
+    return (0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]).astype(np.float32)
