@@ -37,16 +37,30 @@ class Processing:
         else:
             p = Path(source)
             if p.is_dir():
-                self.source = DatasetSource(p, fps=self.config.camera.fps)
+                from .io.datasets import open_dataset
+
+                # Recognizes KITTI/TUM/EuRoC layouts; bare dirs fall through
+                # to DatasetSource.
+                self.source = open_dataset(p)
+                if isinstance(self.source, DatasetSource):
+                    self.source = DatasetSource(p, fps=self.config.camera.fps)
             else:
                 self.source = VideoSource(p, target_fps=self.config.camera.fps)
 
         h, w = self.source.get_frame_shape()
+        # Calibration: explicit file > dataset-provided > heuristic.
+        ds_calib = getattr(self.source, "calibration", None)
         if calibration_file is not None:
             calib = UniversalCalibration().load_from(calibration_file)
             K = calib.mono.K
             D = calib.mono.D
             baseline = calib.stereo.baseline if calib.stereo else 0.0
+        elif ds_calib is not None:
+            mono = ds_calib.mono if hasattr(ds_calib, "mono") else ds_calib
+            K = mono.K
+            D = mono.D
+            stereo = getattr(ds_calib, "stereo", None)
+            baseline = stereo.baseline if stereo is not None else 0.0
         else:
             import numpy as np
 
@@ -69,13 +83,20 @@ class Processing:
         """(reference processinng.py:45-73)"""
         n = 0
         t0 = time.perf_counter()
+        get_depth = getattr(self.source, "get_depth", None)
         while self.source.is_ok():
             if max_cycles is not None and n >= max_cycles:
                 break
             img, ts = self.source.get_frame()
             if img is None:
                 break
-            self.slam.track([img], ts)
+            images = img if isinstance(img, list) else [img]
+            depth = (
+                get_depth(ts)
+                if get_depth is not None and self.config.camera.sensor_type == "rgbd"
+                else None
+            )
+            self.slam.track(images, ts, depth=depth)
             n += 1
             if self.sleep_time > 0:
                 time.sleep(self.sleep_time)
