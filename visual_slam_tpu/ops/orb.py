@@ -120,13 +120,12 @@ _sampling_device = None
 
 def sampling_matrix() -> jnp.ndarray:
     """Device-resident copy of the rotated-BRIEF sampling matrix (uploaded
-    once per process). Stored bf16: the descriptor matmul is HBM-bandwidth
-    bound (the matrix is re-streamed per pyramid level), and bf16 bilinear
-    weights perturb sampled intensities by <1 gray level — below the
-    blur/quantization noise the binary tests already tolerate."""
+    once per process). Kept f32: a bf16 experiment showed no wall-clock gain
+    (the step is not bound by this stream in practice) while bf16 sampling
+    noise flips near-tie descriptor bits on low-texture patches."""
     global _sampling_device
     if _sampling_device is None:
-        _sampling_device = jnp.asarray(SAMPLING_NP, jnp.bfloat16)
+        _sampling_device = jnp.asarray(SAMPLING_NP)
     return _sampling_device
 
 
@@ -137,21 +136,18 @@ def descriptors(
     uint32. ``sampling`` is the (961, N_BINS*512) rotated-pattern matrix
     (pass ``sampling_matrix()``)."""
     K = patches.shape[0]
-    flat = patches.reshape(K, -1).astype(jnp.bfloat16)  # (K, 961)
+    flat = patches.reshape(K, -1)  # (K, 961)
     samples_all = jax.lax.dot_general(
-        flat, sampling.astype(jnp.bfloat16),
+        flat, sampling,
         dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.bfloat16,
+        preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.DEFAULT,
     ).reshape(K, N_BINS, 2 * N_BITS)
     # Select each keypoint's angle bin with a one-hot contraction (no gather).
     two_pi = 2.0 * jnp.pi
     bins = jnp.floor(jnp.mod(angles, two_pi) / two_pi * N_BINS).astype(jnp.int32) % N_BINS
     onehot = jax.nn.one_hot(bins, N_BINS, dtype=samples_all.dtype)  # (K, 30)
-    vals = jnp.einsum(
-        "kbs,kb->ks", samples_all, onehot,
-        precision=jax.lax.Precision.DEFAULT,
-    ).reshape(K, N_BITS, 2)
+    vals = jnp.einsum("kbs,kb->ks", samples_all, onehot).reshape(K, N_BITS, 2)
     bits = (vals[..., 0] < vals[..., 1]).astype(jnp.uint32)  # (K, 256)
     # Pack into 8 uint32 words.
     b = bits.reshape(-1, N_WORDS, 32)
