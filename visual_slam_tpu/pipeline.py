@@ -149,6 +149,7 @@ def make_frame_step(
     pnp_threshold_px: float = 3.0,
     guided_radius_px: float = 25.0,
     guided_ratio: float = 0.8,
+    dist: jnp.ndarray | None = None,
 ):
     """Fused host-pipeline frame step: detect -> projection-guided landmark
     association -> RANSAC-PnP (+ predicted-pose GN fallback), ONE jitted
@@ -161,10 +162,12 @@ def make_frame_step(
     lm_idx, pnp_inliers, ok).
     """
     from .ops.guided_matching import guided_match
+    from .ops.projection import undistort_pixels
 
     Kinv = jnp.linalg.inv(K)
     focal = K[0, 0]
     thresh = pnp_threshold_px / focal
+    dist_arr = None if dist is None else jnp.asarray(dist, jnp.float32)
 
     @jax.jit
     def _frame_step(img, lm_pos, lm_desc, lm_valid, T_pred, key, sampling):
@@ -173,6 +176,10 @@ def make_frame_step(
             num_features=num_features, threshold=fast_threshold,
             n_levels=n_levels, scale=scale, grid=grid,
         )
+        if dist_arr is not None:
+            # Work in ideal pinhole coordinates throughout (reference
+            # camera.py:160-169 undistorts ad hoc; here it is in-program).
+            feats = feats._replace(xy=undistort_pixels(K, Kinv, dist_arr, feats.xy))
         g = guided_match(
             lm_pos, lm_desc, lm_valid, T_pred, K,
             feats.xy, feats.desc, feats.valid, width, height,

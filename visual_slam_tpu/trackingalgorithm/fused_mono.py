@@ -5,8 +5,8 @@ pays a single dispatch per frame instead of 3-4. The brute descriptor path
 remains as a host-side retry for frames where the motion prediction poisons
 the guided associations.
 
-Requires a distortion-free (or pre-rectified) camera; Tracking falls back to
-the modular MonoTracking otherwise.
+Distorted cameras are handled in-program: detected keypoints are undistorted
+to ideal pinhole coordinates inside the fused step.
 """
 from __future__ import annotations
 
@@ -43,6 +43,7 @@ class FusedMonoTracking(BaseTrackingAlgorithm):
                 grid=fcfg.grid_cells,
                 pnp_hypotheses=tcfg.pnp_hypotheses,
                 pnp_threshold_px=tcfg.pnp_threshold_px,
+                dist=cam.D if cam.has_distortion else None,
             )
         return self._step
 
@@ -51,9 +52,6 @@ class FusedMonoTracking(BaseTrackingAlgorithm):
 
     def process(self, tracking, images, timestamp, depth):
         from ..map import Frame
-
-        if tracking.camera.has_distortion:
-            return super().process(tracking, images, timestamp, depth)
 
         step = self._get_step(tracking)
         image = images[0] if isinstance(images, (list, tuple)) else images
