@@ -122,6 +122,63 @@ class SLAM:
         self.tracking.reference_keyframe = None
         self.tracking.initializer.initialized = False
 
+    # -- checkpoint / resume (absent in the reference, SURVEY.md §5) --------
+    def save(self, path) -> None:
+        """Checkpoint the full system: map + tracking context."""
+        import json
+        from pathlib import Path
+
+        import numpy as np
+
+        from .utils.serialization import save_map
+
+        path = Path(path)
+        path.mkdir(parents=True, exist_ok=True)
+        save_map(self.map, path / "map.npz")
+        meta = {
+            "state": self.state.name,
+            "motion_model": np.asarray(self.tracking.motion_model).tolist(),
+            "last_keyframe_frame_id": self.tracking.last_keyframe_frame_id,
+            "config": self.config.to_dict(),
+        }
+        (path / "slam.json").write_text(json.dumps(meta, indent=2))
+
+    @classmethod
+    def resume(cls, path, camera, log_dir: str | None = None) -> "SLAM":
+        """Restore a checkpointed system and continue tracking."""
+        import json
+        from pathlib import Path
+
+        import numpy as np
+
+        from .config import Config
+        from .utils.serialization import load_map
+
+        path = Path(path)
+        meta = json.loads((path / "slam.json").read_text())
+        cfg = Config.from_dict(meta["config"])
+        slam = cls(camera, cfg, log_dir=log_dir)
+        slam.map = load_map(path / "map.npz")
+        # Rewire components onto the restored map.
+        slam.tracking.map = slam.map
+        slam.tracking.initializer.map = slam.map
+        slam.local_mapping.map = slam.map
+        slam.local_mapping.handler.map = slam.map
+        slam.local_handler.map = slam.map
+        slam.global_handler.map = slam.map
+        if slam.loop_closing is not None:
+            slam.loop_closing.map = slam.map
+        kf = slam.map.get_last_keyframe()
+        if kf is not None and meta["state"] in ("OK", "MAPPING"):
+            slam.state = State.OK
+            slam.tracking.reference_keyframe = kf
+            slam.tracking.last_frame = kf
+            slam.tracking.current_frame = kf
+            slam.tracking.last_keyframe_frame_id = meta["last_keyframe_frame_id"]
+            slam.tracking.motion_model = np.asarray(meta["motion_model"])
+            slam.tracking.initializer.initialized = True
+        return slam
+
     # -- introspection -----------------------------------------------------
     def metrics(self) -> dict:
         """Observability snapshot (the reference logs counts to files only;
