@@ -186,8 +186,13 @@ class Initializer:
 
     # -- mono two-view bootstrap (reference initializer.py:119-287) --------
     def _initialize_mono(self, frame_cur: Frame) -> bool:
+        """Evaluates EVERY buffered reference frame and initializes from the
+        best-supported pair (n_points x parallax score) — the reference
+        takes the first pair that passes its gates (initializer.py:119-287),
+        which often locks in the minimum-baseline (noisiest) map."""
         frames = self.map.get_frames()
         icfg = self.config.initialization
+        candidates = []
         for frame_ref in frames[:-1]:
             if not self._can_initialize(frame_ref, frame_cur):
                 continue
@@ -239,16 +244,29 @@ class Initializer:
                 self._register_failure()
                 continue
 
-            frame_cur.update_pose(np.asarray(T_cur, np.float64))
-            self._finalize_initialization(
-                frame_ref, frame_cur, res, np.asarray(pts3d), np.asarray(good)
-            )
-            self.logger.info(
-                "init: success with %d points (parallax %.2fdeg, %d matches)",
-                n_good, np.rad2deg(med_par), n_matches,
-            )
-            return True
-        return False
+            candidates.append({
+                "frame_ref": frame_ref,
+                "res": res,
+                "T_cur": T_cur,
+                "pts3d": np.asarray(pts3d),
+                "good": np.asarray(good),
+                "n_good": n_good,
+                "parallax": med_par,
+                "score": n_good * med_par,
+            })
+
+        if not candidates:
+            return False
+        best = max(candidates, key=lambda c: c["score"])
+        frame_cur.update_pose(np.asarray(best["T_cur"], np.float64))
+        self._finalize_initialization(
+            best["frame_ref"], frame_cur, best["res"], best["pts3d"], best["good"]
+        )
+        self.logger.info(
+            "init: success with %d points (parallax %.2fdeg, %d candidate pairs)",
+            best["n_good"], np.rad2deg(best["parallax"]), len(candidates),
+        )
+        return True
 
     def _can_initialize(self, frame_ref: Frame, frame_cur: Frame) -> bool:
         """(reference initializer.py:396-414)"""
