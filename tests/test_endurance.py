@@ -49,8 +49,7 @@ def test_long_run_bounded_map():
     idx = [int(round(kf.timestamp / 0.1)) for kf in kfs]
     gt = np.stack([-Ts_gt[i][:3, :3].T @ Ts_gt[i][:3, 3] for i in idx])
     res = ate_rmse(est, gt, align_scale=True)
-    # Sanity bound only: this test gates growth management + survival; the
-    # strict ATE gate lives in test_slam_e2e (mono drift over 36 frames on
-    # the sprite renderer has high variance across detection perturbations).
+    # With the mono scale-gauge re-projection in global BA the long-run ATE
+    # measures ~0.7% of path length; gate at 5% (7x headroom).
     path_len = 0.28 * n
-    assert res["rmse"] < 0.25 * path_len, res
+    assert res["rmse"] < 0.05 * path_len, res

@@ -120,7 +120,10 @@ class LMOptimizer(BaseOptimizer):
         )
         return problem, used_points, kf_slot
 
-    def _solve_and_writeback(self, keyframes, map_points, w_bucket, fixed_flags=None):
+    def _solve_and_writeback(
+        self, keyframes, map_points, w_bucket, fixed_flags=None,
+        renormalize_scale=False,
+    ):
         cfg = self.config.optimization
         if fixed_flags is None:
             # Gauge: first KF frozen (reference torch_optimizer.py:54-57).
@@ -139,8 +142,30 @@ class LMOptimizer(BaseOptimizer):
             lam0=cfg.lm_lambda0,
             trim_factor=3.0,
         )
-        T_np = np.asarray(T)
-        X_np = np.asarray(X)
+        T_np = np.array(T)  # writable copies (gauge re-projection mutates)
+        X_np = np.array(X)
+        if renormalize_scale and len(keyframes) >= 2:
+            # Mono gauge re-projection: with only KF0 fixed, SCALE is a null
+            # direction of the cost and f32 LM steps random-walk along it
+            # (observed as abrupt map-scale halvings). A similarity about
+            # KF0's camera center leaves every reprojection invariant, so
+            # re-impose the pre-solve KF0->KF1 baseline length exactly.
+            def center(Tm):
+                return -Tm[:3, :3].T @ Tm[:3, 3]
+
+            C0 = center(T_np[0])
+            d_before = np.linalg.norm(
+                np.asarray(keyframes[1].t_c2w) - np.asarray(keyframes[0].t_c2w)
+            )
+            d_after = np.linalg.norm(center(T_np[1]) - C0)
+            if d_after > 1e-9 and d_before > 1e-9:
+                s = d_before / d_after
+                for j in range(len(keyframes)):
+                    if fixed_flags[j]:
+                        continue
+                    Cj = C0 + s * (center(T_np[j]) - C0)
+                    T_np[j, :3, 3] = -T_np[j, :3, :3] @ Cj
+                X_np = C0 + s * (X_np - C0)
         kept = np.asarray(info["obs_kept"])
         for j, kf in enumerate(keyframes):
             if not kf.is_fixed and not fixed_flags[j]:
@@ -153,7 +178,10 @@ class LMOptimizer(BaseOptimizer):
                 j = kf_slot.get(kf_id)
                 if j is not None and cam_id == 0 and not kept[i, j]:
                     keyframes[j].remove_map_point(cam_id, kp_idx)
-            if mp.num_observations() < 2:
+            # Only fully orphaned landmarks die here: single-observation
+            # points still serve PnP tracking, and keyframe culling may
+            # legitimately reduce a good landmark to one observation.
+            if mp.num_observations() < 1:
                 mp.set_bad()
         return {
             "cost0": float(info["cost0"]),
@@ -202,4 +230,6 @@ class LMOptimizer(BaseOptimizer):
         if len(kfs) < 2 or len(pts) < 10:
             return {"skipped": True}
         w_bucket = _bucket4(len(kfs), lo=4)
-        return self._solve_and_writeback(kfs, pts, w_bucket=w_bucket)
+        return self._solve_and_writeback(
+            kfs, pts, w_bucket=w_bucket, renormalize_scale=True
+        )

@@ -110,6 +110,10 @@ class OptimizationConfig:
     lm_lambda0: float = 1e-3
     ba_every_n_keyframes: int = 1  # throttle the BA handler trigger
     log_reprojection_error: bool = True  # host-side metric around each BA
+    # Run full-map BA while the map is at most this many keyframes (the
+    # compiled LM/Schur solve is ~ms even at 64 KFs x 16k landmarks; windowed
+    # BA with frozen anchors locks in drift and is only worth it at scale).
+    global_ba_max_keyframes: int = 64
 
 
 @dataclass

@@ -41,7 +41,9 @@ class LocalHandler(BaseHandler):
         err_before = (
             self.map.compute_mean_reprojection_error(self.camera.K) if log_err else -1.0
         )
-        if len(all_kfs) <= 2 * self.window:
+        if len(all_kfs) <= max(
+            self.config.optimization.global_ba_max_keyframes, 2 * self.window
+        ):
             result = self.map.optimize_global(self.optimizer)
         else:
             result = self.map.optimize_local(self.optimizer, all_kfs[-self.window :])
