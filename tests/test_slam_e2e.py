@@ -70,10 +70,10 @@ def test_trajectory_ate(slam_run):
     idx = [int(round(kf.timestamp / 0.1)) for kf in kfs]
     gt = np.stack([-Ts_gt[i][:3, :3].T @ Ts_gt[i][:3, 3] for i in idx])
     res = ate_rmse(est, gt, align_scale=True)
-    # Path length is ~0.35 * 12 = 4.2 world units; demand ATE < 7% of that.
-    # (The sprite renderer has ~0.2px view-dependent corner bias which BA
-    # faithfully fits — real-sequence benchmarks are the accuracy gate.)
-    assert res["rmse"] < 0.30, res
+    # Path length is ~0.35 * 12 = 4.2 world units; measured ~0.18 after the
+    # scale-gauge fix — gate at 6% of path. (The sprite renderer has ~0.2px
+    # view-dependent corner bias which BA faithfully fits.)
+    assert res["rmse"] < 0.25, res
 
 
 def test_reprojection_error_small(slam_run):
