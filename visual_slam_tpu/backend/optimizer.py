@@ -203,11 +203,10 @@ class LMOptimizer(BaseOptimizer):
                     points[mp.id] = mp
         if len(points) < 10:  # (reference torch_optimizer.py:99-101 bails <10 obs)
             return {"skipped": True}
-        # Two-view mono BA has the same free scale gauge as global BA:
-        # preserve the init baseline through the solve.
-        return self._solve_and_writeback(
-            kfs, list(points.values()), w_bucket=2, renormalize_scale=True
-        )
+        # No scale renormalization here: the 20-iteration two-view solve
+        # barely moves the gauge, and A/B runs showed re-pinning the
+        # pre-solve baseline only perturbs downstream keyframe decisions.
+        return self._solve_and_writeback(kfs, list(points.values()), w_bucket=2)
 
     def optimize_local(self, keyframes, map_points, fixed_keyframes=()):
         """Window BA. ``fixed_keyframes`` are out-of-window anchors that
