@@ -199,10 +199,14 @@ class Tracking:
         xy_obs = np.asarray(res.features1.xy)
         return res, pts3d, xy_obs, pair_valid
 
-    def _local_landmark_block(self, n_keyframes: int = 3, cap: int = 2048):
+    def _local_landmark_block(self, n_keyframes: int = 3, cap: int | None = None):
         """Dense local-map landmark block (positions, descriptors, mask) from
         the last-N keyframes, padded to a fixed capacity for stable jit
-        shapes. Feeds the projection-guided matcher."""
+        shapes. Feeds the projection-guided matcher. The capacity scales with
+        the feature budget (at 2000 feats x 3 KFs a fixed 2048 would
+        truncate)."""
+        if cap is None:
+            cap = max(2048, 2 * self.config.feature.num_features)
         mps = {}
         for kf in self.map.get_keyframes()[-n_keyframes:]:
             for mp in kf.map_points.values():

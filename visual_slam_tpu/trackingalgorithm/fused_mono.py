@@ -19,9 +19,9 @@ from .mono_tracking import MonoTracking
 
 
 class FusedMonoTracking(BaseTrackingAlgorithm):
-    def __init__(self, n_local_keyframes: int = 3, landmark_cap: int = 2048):
+    def __init__(self, n_local_keyframes: int = 3, landmark_cap: int | None = None):
         self.n_local_keyframes = n_local_keyframes
-        self.landmark_cap = landmark_cap
+        self.landmark_cap = landmark_cap  # None -> scales with feature budget
         self._step = None
         self._key = jax.random.PRNGKey(31)
         self._fallback = MonoTracking(n_local_keyframes, use_guided=False)
