@@ -65,7 +65,8 @@ def test_pose_graph_padding():
 
 def test_sim3_graph_corrects_scale_drift(rng):
     """Mono scale drift: each odometry step's translation shrinks by 2%/step;
-    a loop edge with the true relative pose + scale must pull scales back."""
+    a loop edge with the true relative pose + measured relative scale must
+    de-drift the trajectory (ATE improves), not just move the end node."""
     from visual_slam_tpu.loop_closing.pose_graph import (
         build_sim3_graph,
         optimize_sim3_graph,
@@ -83,17 +84,132 @@ def test_sim3_graph_corrects_scale_drift(rng):
         drifted.append(rel_d @ drifted[-1])
     drifted = np.stack(drifted).astype(np.float32)
 
-    # Loop edge n-1 -> 0 with TRUE relative pose and measured relative scale.
+    def ate(T):
+        C = np.stack([-T[k, :3, :3].T @ T[k, :3, 3] for k in range(n)])
+        Cg = np.stack([-gt[k, :3, :3].T @ gt[k, :3, 3] for k in range(n)])
+        return float(np.sqrt(np.mean(np.sum((C - Cg) ** 2, -1))))
+
+    # Loop edge n-1 -> 0: true relative pose, measured relative map scale
+    # (local scale at node n-1 relative to node 0 = accumulated shrink).
     T_meas = gt[-1] @ np.linalg.inv(gt[0])
-    s_meas = 1.0  # true scale ratio between ends
+    s_meas = 0.98 ** (n - 1)
     graph = build_sim3_graph(drifted, loop_edges=[(n - 1, 0, T_meas, s_meas)])
     T_opt, scales, info = optimize_sim3_graph(graph, n_iter=15)
-    T_opt = np.asarray(T_opt)
+    T_opt = np.asarray(T_opt, np.float64)
     scales = np.asarray(scales)
     assert float(info["costs"][-1]) < float(info["costs"][0]) * 0.2
     # Loop constraint satisfied.
     rel_end = T_opt[-1] @ np.linalg.inv(T_opt[0])
     np.testing.assert_allclose(rel_end[:3, :3], T_meas[:3, :3], atol=0.05)
-    # Scales spread monotonically-ish to absorb the drift (end nodes pushed up).
     assert scales[0] == 1.0  # fixed gauge node
     assert np.isfinite(scales).all()
+    # Node scales track the accumulated drift factor (shrinking here).
+    assert scales[-1] < 0.93
+    # The corrected trajectory is closer to ground truth than the drifted one.
+    assert ate(T_opt) < 0.5 * ate(drifted)
+
+
+def test_close_corrects_scale_drifted_map(rng):
+    """Regression for the landmark-correction direction: on a synthetic
+    scale-drifted loopy map, LoopClosing.close() must DECREASE cross-view
+    reprojection error and ATE (the round-1 implementation multiplied
+    camera-frame landmarks by the node scale and made both worse)."""
+    from visual_slam_tpu.camera import PinholeCamera
+    from visual_slam_tpu.config import Config
+    from visual_slam_tpu.loop_closing import LoopClosing
+    from visual_slam_tpu.map import KeyFrame, Map, MapPoint
+    from visual_slam_tpu.map.pose import Pose
+
+    n, radius, m_pts, gamma = 16, 6.0, 200, 1.05
+    angles = np.linspace(0, 2 * np.pi * 0.95, n)
+    C_true = np.stack(
+        [radius * np.cos(angles), 0.1 * np.sin(2 * angles), radius * np.sin(angles)], 1
+    )
+
+    def look_at(C):
+        z = -C / np.linalg.norm(C)
+        x = np.cross([0, 1, 0], z)
+        x /= np.linalg.norm(x)
+        return np.stack([x, np.cross(z, x), z])
+
+    R_true = np.stack([look_at(c) for c in C_true])
+    T_true = np.tile(np.eye(4), (n, 1, 1))
+    T_true[:, :3, :3] = R_true
+    T_true[:, :3, 3] = -np.einsum("nij,nj->ni", R_true, C_true)
+    X_true = rng.normal(0, 1.2, (m_pts, 3))
+
+    # Visibility + true observations (normalized image plane).
+    obs = np.zeros((n, m_pts), bool)
+    uv_true = np.zeros((n, m_pts, 2))
+    for k in range(n):
+        xc = X_true @ R_true[k].T + T_true[k, :3, 3]
+        z = xc[:, 2]
+        uv = xc[:, :2] / np.maximum(z[:, None], 1e-9)
+        obs[k] = (z > 2.0) & (np.abs(uv) < 0.5).all(1)
+        uv_true[k] = uv
+
+    # Drifted map: camera centers integrate scale-inflated steps; landmarks
+    # live at their first observer's local (drifted) scale.
+    alpha = gamma ** np.arange(n)
+    C_d = C_true.copy()
+    for k in range(n - 1):
+        C_d[k + 1] = C_d[k] + alpha[k] * (C_true[k + 1] - C_true[k])
+    T_d = T_true.copy()
+    T_d[:, :3, 3] = -np.einsum("nij,nj->ni", R_true, C_d)
+    first = np.array([int(np.argmax(obs[:, m])) for m in range(m_pts)])
+    X_d = np.zeros_like(X_true)
+    for m in range(m_pts):
+        r = first[m]
+        xc = R_true[r] @ X_true[m] + T_true[r, :3, 3]
+        X_d[m] = R_true[r].T @ (alpha[r] * xc) + C_d[r]
+
+    # Build the real Map.
+    slam_map = Map()
+    kfs = []
+    for k in range(n):
+        kf = KeyFrame(timestamp=float(k), pose=Pose(T_d[k]))
+        slam_map.add_keyframe(kf)
+        kfs.append(kf)
+    for m in range(m_pts):
+        mp = MapPoint(X_d[m])
+        slam_map.add_map_point(mp)
+        for k in np.nonzero(obs[:, m])[0]:
+            mp.add_observation(kfs[k].keyframe_id, 0, m)
+
+    def metrics():
+        errs = []
+        pts = {mp_.id: mp_ for mp_ in slam_map.get_map_points()}
+        X = np.stack([p.position for p in pts.values()])
+        order = list(pts.values())
+        for k, kf in enumerate(slam_map.get_keyframes()):
+            T = kf.T_w2c
+            for mi, mp_ in enumerate(order):
+                if not obs[k, mi]:
+                    continue
+                xc = T[:3, :3] @ mp_.position + T[:3, 3]
+                if xc[2] < 1e-6:
+                    errs.append(1.0)
+                    continue
+                errs.append(np.linalg.norm(xc[:2] / xc[2] - uv_true[k, mi]))
+        C = np.stack([-kf.T_w2c[:3, :3].T @ kf.T_w2c[:3, 3] for kf in slam_map.get_keyframes()])
+        ate = float(np.sqrt(np.mean(np.sum((C - C_true) ** 2, -1))))
+        return float(np.mean(errs)), ate
+
+    reproj0, ate0 = metrics()
+
+    cam = PinholeCamera(width=640, height=480, K=np.array(
+        [[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]]))
+    lc = LoopClosing(slam_map, cam, Config(), optimizer=None)
+    detection = {
+        "candidate": kfs[0],
+        "T_kf_corrected": T_true[-1].copy(),  # PnP vs node-0-scale landmarks
+        "n_inliers": 50,
+        "s_meas": float(alpha[-1]),
+    }
+    result = lc.close(kfs[-1], detection)
+    reproj1, ate1 = metrics()
+    assert np.isfinite(result["pose_graph_cost"])
+    assert result["covis_edges"] > 0  # essential graph, not just the chain
+    # The correction must improve BOTH map consistency and the trajectory.
+    assert reproj1 < 0.7 * reproj0, (reproj0, reproj1)
+    assert ate1 < 0.35 * ate0, (ate0, ate1)

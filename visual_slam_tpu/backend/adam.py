@@ -77,7 +77,10 @@ class AdamOptimizer(LMOptimizer):
     """Drop-in optimizer facade using the Adam solver (config.optimization
     .solver == 'adam')."""
 
-    def _solve_and_writeback(self, keyframes, map_points, w_bucket, fixed_flags=None):
+    def _solve_and_writeback(
+        self, keyframes, map_points, w_bucket, fixed_flags=None,
+        renormalize_scale=False,
+    ):
         import numpy as np
 
         cfg = self.config.optimization
@@ -85,6 +88,7 @@ class AdamOptimizer(LMOptimizer):
             fixed_flags = [j == 0 for j in range(len(keyframes))]
         from .optimizer import _next_pow2
 
+        map_points = self._select_points(map_points, cfg.max_points)
         m_bucket = min(_next_pow2(len(map_points)), cfg.max_points)
         problem, used_points, kf_slot = self._pack(
             keyframes, map_points, w_bucket, m_bucket, fixed_flags
@@ -93,8 +97,12 @@ class AdamOptimizer(LMOptimizer):
         T, X, info = adam_bundle_adjust(
             problem, n_iter=cfg.n_iter, lr=cfg.lr, huber=cfg.huber_delta / focal
         )
-        T_np = np.asarray(T)
-        X_np = np.asarray(X)
+        T_np = np.array(T)  # writable copies (gauge re-projection mutates)
+        X_np = np.array(X)
+        if renormalize_scale and len(keyframes) >= 2:
+            # Adam's global BA drifts along the mono scale null direction just
+            # like LM's — re-impose the gauge (CLAUDE.md).
+            X_np = self._reimpose_mono_gauge(T_np, X_np, keyframes, fixed_flags)
         for j, kf in enumerate(keyframes):
             if not kf.is_fixed and not fixed_flags[j]:
                 kf.update_pose(T_np[j].astype(np.float64))

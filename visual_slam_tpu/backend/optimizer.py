@@ -120,6 +120,46 @@ class LMOptimizer(BaseOptimizer):
         )
         return problem, used_points, kf_slot
 
+    def _select_points(self, map_points, cap: int):
+        """Respect the landmark cap by keeping the BEST-OBSERVED points, not
+        a positional prefix, and say so (no silent caps): dropped landmarks
+        are neither optimized nor outlier-trimmed this solve."""
+        if len(map_points) <= cap:
+            return map_points
+        ranked = sorted(map_points, key=lambda mp: -mp.num_observations())
+        self.logger.warning(
+            "BA landmark cap: optimizing the %d best-observed of %d landmarks "
+            "(%d dropped this solve; raise config.optimization.max_points to "
+            "include them)", cap, len(map_points), len(map_points) - cap,
+        )
+        return ranked[:cap]
+
+    @staticmethod
+    def _reimpose_mono_gauge(T_np, X_np, keyframes, fixed_flags):
+        """Mono gauge re-projection: with only KF0 fixed, SCALE is a null
+        direction of the cost and f32 LM steps random-walk along it (observed
+        as abrupt map-scale halvings). A similarity about KF0's camera center
+        leaves every reprojection invariant, so re-impose the pre-solve
+        KF0->KF1 baseline length exactly. Mutates T_np in place; returns the
+        re-scaled X_np. Every solver's global BA must apply this (CLAUDE.md)."""
+        def center(Tm):
+            return -Tm[:3, :3].T @ Tm[:3, 3]
+
+        C0 = center(T_np[0])
+        d_before = np.linalg.norm(
+            np.asarray(keyframes[1].t_c2w) - np.asarray(keyframes[0].t_c2w)
+        )
+        d_after = np.linalg.norm(center(T_np[1]) - C0)
+        if d_after > 1e-9 and d_before > 1e-9:
+            s = d_before / d_after
+            for j in range(len(keyframes)):
+                if fixed_flags[j]:
+                    continue
+                Cj = C0 + s * (center(T_np[j]) - C0)
+                T_np[j, :3, 3] = -T_np[j, :3, :3] @ Cj
+            X_np = C0 + s * (X_np - C0)
+        return X_np
+
     def _solve_and_writeback(
         self, keyframes, map_points, w_bucket, fixed_flags=None,
         renormalize_scale=False,
@@ -128,6 +168,7 @@ class LMOptimizer(BaseOptimizer):
         if fixed_flags is None:
             # Gauge: first KF frozen (reference torch_optimizer.py:54-57).
             fixed_flags = [j == 0 for j in range(len(keyframes))]
+        map_points = self._select_points(map_points, cfg.max_points)
         m_bucket = min(_bucket4(len(map_points), lo=256), cfg.max_points)
         problem, used_points, kf_slot = self._pack(
             keyframes, map_points, w_bucket, m_bucket, fixed_flags
@@ -145,27 +186,7 @@ class LMOptimizer(BaseOptimizer):
         T_np = np.array(T)  # writable copies (gauge re-projection mutates)
         X_np = np.array(X)
         if renormalize_scale and len(keyframes) >= 2:
-            # Mono gauge re-projection: with only KF0 fixed, SCALE is a null
-            # direction of the cost and f32 LM steps random-walk along it
-            # (observed as abrupt map-scale halvings). A similarity about
-            # KF0's camera center leaves every reprojection invariant, so
-            # re-impose the pre-solve KF0->KF1 baseline length exactly.
-            def center(Tm):
-                return -Tm[:3, :3].T @ Tm[:3, 3]
-
-            C0 = center(T_np[0])
-            d_before = np.linalg.norm(
-                np.asarray(keyframes[1].t_c2w) - np.asarray(keyframes[0].t_c2w)
-            )
-            d_after = np.linalg.norm(center(T_np[1]) - C0)
-            if d_after > 1e-9 and d_before > 1e-9:
-                s = d_before / d_after
-                for j in range(len(keyframes)):
-                    if fixed_flags[j]:
-                        continue
-                    Cj = C0 + s * (center(T_np[j]) - C0)
-                    T_np[j, :3, 3] = -T_np[j, :3, :3] @ Cj
-                X_np = C0 + s * (X_np - C0)
+            X_np = self._reimpose_mono_gauge(T_np, X_np, keyframes, fixed_flags)
         kept = np.asarray(info["obs_kept"])
         for j, kf in enumerate(keyframes):
             if not kf.is_fixed and not fixed_flags[j]:

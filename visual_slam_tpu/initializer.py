@@ -68,6 +68,9 @@ class Initializer:
         self.visualizer = visualizer
         self.initialized = False
         self.min_inliers = config.initialization.min_inliers
+        # Relaxation floor: never tightens a user-configured low threshold
+        # (30 only caps the DEFAULT of 100, not a deliberate 20).
+        self._min_inliers_floor = min(30, self.min_inliers)
         self._n_failures = 0
         self._key = jax.random.PRNGKey(7)
 
@@ -288,7 +291,7 @@ class Initializer:
         floor, initializer.py:283-287)."""
         self._n_failures += 1
         if self._n_failures % 5 == 0:
-            self.min_inliers = max(30, self.min_inliers - 10)
+            self.min_inliers = max(self._min_inliers_floor, self.min_inliers - 10)
             self.logger.info("init: relaxing min_inliers to %d", self.min_inliers)
 
     # -- map bootstrap (reference initializer.py:295-394) ------------------

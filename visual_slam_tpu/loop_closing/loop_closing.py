@@ -6,13 +6,16 @@ A working implementation of the reference's declared-but-absent loop closing
 
 Detection is brute-force descriptor place recognition, which is the
 TPU-shaped choice: the query keyframe's packed descriptors are matched
-against EVERY candidate keyframe with the same MXU Hamming matmul the
-tracker uses — at 2000 features x hundreds of keyframes this is a few
-milliseconds, so no vocabulary tree / BoW approximation is needed.
-Candidates are gated to exclude the recent window, scored by ratio-test
-match count, then geometrically verified with the PnP solver against the
-candidate's landmarks; success yields a corrected relative-pose edge and a
-pose-graph optimization + (optional) global BA.
+against EVERY candidate keyframe in ONE batched MXU Hamming program
+(``match_descriptors_batched`` — candidate blocks stacked and padded to a
+power-of-two bucket, so dispatch count is O(1) and recompiles are
+log-bounded regardless of map size). Candidates are gated to exclude the
+recent window, scored by ratio-test match count; the top-2 scorers are
+geometrically verified with the PnP solver against their landmarks. Success
+yields a corrected relative-pose edge, a measured relative scale (median
+depth ratio over PnP-inlier landmark pairs — stabler than a baseline ratio),
+and a Sim(3) essential-graph optimization over odometry + covisibility +
+loop edges, then (optional) global BA.
 """
 from __future__ import annotations
 
@@ -24,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..map import KeyFrame, Map
-from ..ops import matching as m_ops
+from ..ops.matching import match_descriptors_batched
 from ..ops.pnp import ransac_pnp
 from ..ops.projection import normalize_points
 from .pose_graph import (
@@ -33,6 +36,15 @@ from .pose_graph import (
     optimize_pose_graph,
     optimize_sim3_graph,
 )
+
+
+def _bucket(n: int, floor: int = 8) -> int:
+    """Next power-of-two capacity >= n (recompile ladder for the candidate
+    batch axis)."""
+    c = floor
+    while c < n:
+        c *= 2
+    return c
 
 
 class LoopClosing:
@@ -60,41 +72,58 @@ class LoopClosing:
 
     # -- detection ---------------------------------------------------------
     def detect(self, kf: KeyFrame) -> Optional[dict]:
-        """Best verified loop candidate for ``kf``, or None."""
+        """Best verified loop candidate for ``kf``, or None.
+
+        One batched device dispatch scores every candidate; the top-2 by
+        ratio-test match count are geometrically verified in order (a single
+        bad ratio-test winner must not kill detection for the keyframe)."""
         kfs = self.map.get_keyframes()
         if len(kfs) <= self.min_gap + 1:
             return None
-        candidates = [k for k in kfs[: -self.min_gap] if k.keyframe_id != kf.keyframe_id]
+        candidates = [
+            k for k in kfs[: -self.min_gap]
+            if k.keyframe_id != kf.keyframe_id and k.get_features(0) is not None
+        ]
         if not candidates:
             return None
         f_q = kf.get_features(0)
-        best = None
-        for cand in candidates:
-            f_c = cand.get_features(0)
-            if f_c is None:
-                continue
-            res = m_ops.match_descriptors(
-                f_q.desc, f_c.desc, f_q.valid, f_c.valid, f_q.angle, f_c.angle,
-                ratio=0.75, cross_check=True, use_orientation=True,
-            )
-            n = int(res["n_matches"])
-            if n >= self.min_matches and (best is None or n > best[0]):
-                best = (n, cand, res)
-        if best is None:
-            return None
-        n, cand, res = best
-        verified = self._verify(kf, cand, res)
-        if verified is None:
-            return None
-        verified.update({"candidate": cand, "n_matches": n})
-        return verified
+        C = len(candidates)
+        Cpad = _bucket(C)
+        feats = [c.get_features(0) for c in candidates]
+        pad = Cpad - C
+        desc_c = np.stack([np.asarray(f.desc) for f in feats] + [np.asarray(feats[0].desc)] * pad)
+        valid_c = np.stack([np.asarray(f.valid) for f in feats] + [np.zeros_like(np.asarray(feats[0].valid))] * pad)
+        angle_c = np.stack([np.asarray(f.angle) for f in feats] + [np.asarray(feats[0].angle)] * pad)
+        res = match_descriptors_batched(
+            f_q.desc, jnp.asarray(desc_c), f_q.valid, jnp.asarray(valid_c),
+            f_q.angle, jnp.asarray(angle_c),
+            ratio=0.75, cross_check=True, use_orientation=True,
+        )
+        counts = np.asarray(res["n_matches"])[:C]
+        train_idx = np.asarray(res["train_idx"])[:C]
+        match_ok = np.asarray(res["valid"])[:C]
+        order = np.argsort(-counts)
+        for rank in order[:2]:
+            n = int(counts[rank])
+            if n < self.min_matches:
+                break
+            cand = candidates[rank]
+            verified = self._verify(kf, cand, train_idx[rank], match_ok[rank])
+            if verified is not None:
+                verified.update({"candidate": cand, "n_matches": n})
+                return verified
+        return None
 
-    def _verify(self, kf: KeyFrame, cand: KeyFrame, res) -> Optional[dict]:
+    def _verify(
+        self, kf: KeyFrame, cand: KeyFrame, train_idx: np.ndarray, match_ok: np.ndarray
+    ) -> Optional[dict]:
         """Geometric verification: PnP of kf's keypoints against cand's
-        landmarks -> corrected T_kf_w2c in the candidate's frame."""
+        landmarks -> corrected T_kf_w2c in the candidate's frame, plus the
+        measured relative map scale (median depth ratio over inlier pairs
+        where kf has its own landmark for the matched feature)."""
         pos, has = cand.point_arrays(0)
-        ti = np.asarray(res["train_idx"])
-        ok = np.asarray(res["valid"]) & has[ti]
+        ti = np.asarray(train_idx)
+        ok = np.asarray(match_ok) & has[ti]
         if ok.sum() < self.min_inliers:
             return None
         pts3d = pos[ti]
@@ -110,18 +139,86 @@ class LoopClosing:
         if not bool(pnp["ok"]) or n_inl < self.min_inliers:
             return None
         T_corrected = np.asarray(pnp["T"], np.float64)
-        return {"T_kf_corrected": T_corrected, "n_inliers": n_inl}
+        inliers = np.asarray(pnp["inliers"])
+        s_meas = self._measure_scale(kf, pts3d, inliers, T_corrected)
+        return {"T_kf_corrected": T_corrected, "n_inliers": n_inl, "s_meas": s_meas}
+
+    def _measure_scale(
+        self, kf: KeyFrame, pts3d: np.ndarray, inliers: np.ndarray, T_corr: np.ndarray
+    ) -> Optional[float]:
+        """Relative map scale at kf vs the candidate: for every PnP-inlier
+        feature of kf that also has its OWN landmark (triangulated at the
+        drifted local scale), the ratio of its depth through kf's drifted
+        pose to the matched candidate landmark's depth through the corrected
+        pose measures the accumulated drift factor; the median over pairs is
+        robust to individual triangulation errors. None if too few pairs
+        (caller falls back to the baseline ratio)."""
+        T_d = np.asarray(kf.T_w2c, np.float64)
+        ratios = []
+        for q in np.nonzero(inliers)[0]:
+            mp_own = kf.get_map_point(0, int(q))
+            if mp_own is None or mp_own.is_bad:
+                continue
+            z_own = (T_d[:3, :3] @ mp_own.position + T_d[:3, 3])[2]
+            z_cand = (T_corr[:3, :3] @ pts3d[q] + T_corr[:3, 3])[2]
+            if z_own > 1e-6 and z_cand > 1e-6:
+                ratios.append(z_own / z_cand)
+        if len(ratios) >= 5:
+            return float(np.clip(np.median(ratios), 0.2, 5.0))
+        return None
 
     # -- closure -----------------------------------------------------------
-    def close(self, kf: KeyFrame, detection: dict, use_sim3: bool = True) -> dict:
-        """Apply a verified loop: pose-graph optimization over all keyframes
-        with the loop edge, then optional global BA.
+    def _covisibility_edges(
+        self,
+        kfs: list[KeyFrame],
+        min_shared: int = 15,
+        max_weight_at: int = 50,
+        max_span: int = 10,
+    ) -> list[tuple[int, int, float]]:
+        """Non-sequential covisibility pairs (row indices) weighted by shared
+        landmark count — the essential-graph edges that distribute loop error
+        through the map instead of only along the odometry chain.
 
-        Mono scale drift is handled with the Sim(3) graph: the measured
-        relative scale comes from comparing the drifted-map baseline
-        ||C_i - C_j|| against the PnP-corrected baseline (both in the old
-        map's scale at node j), and each keyframe's landmark cloud is
-        re-scaled about its camera center by the optimized node scale.
+        Pairs are limited to a temporal span: a covisibility edge carries the
+        CURRENT (drifted) relative pose at relative scale 1 as its
+        measurement, which is only trustworthy between temporally-near
+        keyframes (little accumulated drift between them). A distant
+        covisible pair is a previous loop — its constraint belongs in a loop
+        edge with a measured scale, not here, where its scale-1 drifted
+        measurement would fight the closure."""
+        row_of = {k.keyframe_id: r for r, k in enumerate(kfs)}
+        counts: dict[tuple[int, int], int] = {}
+        for mp in self.map.get_map_points():
+            if mp.is_bad:
+                continue
+            rows = sorted({row_of[k] for k in mp.observations.get_keyframe_ids() if k in row_of})
+            for a in range(len(rows)):
+                for b in range(a + 1, len(rows)):
+                    if rows[b] - rows[a] > max_span:
+                        continue
+                    key = (rows[a], rows[b])
+                    counts[key] = counts.get(key, 0) + 1
+        # Weight: covisibility strength, discounted by 1/sqrt(span) — drift
+        # noise in the scale-1 measurement accumulates with temporal span, so
+        # a longer-range edge carries proportionally less information.
+        return [
+            (i, j, min(1.0, c / max_weight_at) / float(np.sqrt(j - i)))
+            for (i, j), c in counts.items()
+            if c >= min_shared and j - i > 1
+        ]
+
+    def close(self, kf: KeyFrame, detection: dict, use_sim3: bool = True) -> dict:
+        """Apply a verified loop: Sim(3) essential-graph optimization over
+        all keyframes (odometry chain + covisibility edges + the loop edge),
+        then optional global BA.
+
+        Landmark correction follows the ORB-SLAM CorrectLoop recipe for this
+        graph's node semantics (see optimize_sim3_graph): a landmark anchored
+        at keyframe r is taken to r's OLD camera frame, its camera-frame
+        coordinates DIVIDE by r's optimized node scale (the accumulated drift
+        factor — dividing deflates drift-inflated local structure), then map
+        out through r's corrected SE(3) pose. This is reprojection-exact at
+        the anchor view.
         """
         kfs = self.map.get_keyframes()
         idx = {k.keyframe_id: i for i, k in enumerate(kfs)}
@@ -134,27 +231,47 @@ class LoopClosing:
         T_meas = T_i_corr @ np.linalg.inv(T_j)
         poses = np.stack([k.T_w2c for k in kfs]).astype(np.float32)
 
-        def center(T):
-            return -T[:3, :3].T @ T[:3, 3]
+        s_meas = detection.get("s_meas")
+        if s_meas is None:
+            # Fallback: drifted-vs-corrected baseline ratio (coarser — used
+            # only when too few landmark pairs exist for the depth median).
+            # The ratio is only a scale estimate when the corrected baseline
+            # is an appreciable length: a revisit AT the candidate viewpoint
+            # has d_corr ~ 0 and the ratio measures drift distance, not
+            # scale — default to 1 there (observed: an unguarded ratio hit
+            # the 5.0 clip and warped a consistent map by 20x reprojection).
+            def center(T):
+                return -T[:3, :3].T @ T[:3, 3]
 
-        d_drift = float(np.linalg.norm(center(kfs[i].T_w2c) - center(T_j)))
-        d_corr = float(np.linalg.norm(center(T_i_corr) - center(T_j)))
-        s_meas = d_drift / max(d_corr, 1e-9) if d_corr > 1e-6 else 1.0
-        s_meas = float(np.clip(s_meas, 0.2, 5.0))
+            centers = np.stack([center(k.T_w2c) for k in kfs])
+            med_baseline = float(
+                np.median(np.linalg.norm(np.diff(centers, axis=0), axis=-1))
+            ) if len(kfs) > 1 else 0.0
+            d_drift = float(np.linalg.norm(center(kfs[i].T_w2c) - center(T_j)))
+            d_corr = float(np.linalg.norm(center(T_i_corr) - center(T_j)))
+            if d_corr > max(0.5 * med_baseline, 1e-6):
+                s_meas = float(np.clip(d_drift / d_corr, 0.2, 5.0))
+            else:
+                s_meas = 1.0
 
+        covis = self._covisibility_edges(kfs)
         if use_sim3:
-            graph = build_sim3_graph(poses, loop_edges=[(i, j, T_meas, s_meas)])
-            T_opt, scales, info = optimize_sim3_graph(graph, n_iter=10)
+            graph = build_sim3_graph(
+                poses, loop_edges=[(i, j, T_meas, s_meas)], covis_edges=covis
+            )
+            T_opt, scales, info = optimize_sim3_graph(graph, n_iter=15)
             scales = np.asarray(scales, np.float64)
         else:
-            graph = build_sequential_graph(poses, loop_edges=[(i, j, T_meas)])
-            T_opt, info = optimize_pose_graph(graph, n_iter=10)
+            graph = build_sequential_graph(
+                poses, loop_edges=[(i, j, T_meas)] + [
+                    (a, b, poses[a] @ np.linalg.inv(poses[b])) for a, b, _ in covis
+                ],
+            )
+            T_opt, info = optimize_pose_graph(graph, n_iter=15)
             scales = np.ones(len(kfs))
         T_opt = np.asarray(T_opt, np.float64)
 
-        # Landmark correction: re-express each landmark in its first
-        # observing KF's OLD camera frame, scale by that node's factor, map
-        # out through the NEW pose (the ORB-SLAM loop-correction recipe).
+        # Landmark correction (anchor = first observing keyframe).
         kf_row = {k.keyframe_id: r for r, k in enumerate(kfs)}
         T_old = poses.astype(np.float64)
         corrected = 0
@@ -167,7 +284,7 @@ class LoopClosing:
                 continue
             r = min(rows)  # first (oldest) observing keyframe
             x_cam = T_old[r, :3, :3] @ mp.position + T_old[r, :3, 3]
-            x_cam *= scales[r]
+            x_cam /= scales[r]
             R_new = T_opt[r, :3, :3]
             X_new = R_new.T @ (x_cam - T_opt[r, :3, 3])
             mp.update_position(X_new)
@@ -177,14 +294,16 @@ class LoopClosing:
             kfr.update_pose(T_opt[k])
         self.closed_loops.append((kf.keyframe_id, detection["candidate"].keyframe_id))
         self.logger.info(
-            "closed loop %d -> %d (%d inliers); pose-graph cost %.5f",
+            "closed loop %d -> %d (%d inliers, s_meas %.3f, %d covis edges); "
+            "pose-graph cost %.5f",
             kf.keyframe_id, detection["candidate"].keyframe_id,
-            detection["n_inliers"], float(info["cost"]),
+            detection["n_inliers"], s_meas, len(covis), float(info["cost"]),
         )
         result = {
             "pose_graph_cost": float(info["cost"]),
             "loop": (i, j),
             "scale_meas": s_meas,
+            "covis_edges": len(covis),
             "landmarks_corrected": corrected,
         }
         if self.optimizer is not None:

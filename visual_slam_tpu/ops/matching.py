@@ -178,3 +178,37 @@ def match_descriptors(
     if use_orientation and angle1 is not None:
         ok = orientation_filter(angle1, angle2, ti, ok, n_bins=n_bins, keep_bins=keep_bins)
     return {"train_idx": ti, "distance": d, "valid": ok, "n_matches": jnp.sum(ok)}
+
+
+@partial(jax.jit, static_argnames=("ratio", "cross_check", "use_orientation"))
+def match_descriptors_batched(
+    desc_q: jnp.ndarray,
+    desc_c: jnp.ndarray,
+    valid_q: jnp.ndarray,
+    valid_c: jnp.ndarray,
+    angle_q: jnp.ndarray,
+    angle_c: jnp.ndarray,
+    ratio: float = 0.75,
+    cross_check: bool = True,
+    use_orientation: bool = True,
+) -> dict:
+    """One query block vs C stacked candidate blocks in a SINGLE dispatch
+    (loop place recognition: the query keyframe against every old keyframe).
+
+    Uses lax.map rather than vmap so the per-candidate (K, K) distance matrix
+    is never materialized C times at once — each candidate's Hamming matmul
+    runs sequentially on the MXU inside one compiled program, bounding VMEM/
+    HBM at one matrix while keeping host round-trips at exactly one.
+
+    Shapes: desc_c (C, K, B), valid_c (C, K), angle_c (C, K); returns stacked
+    dict with train_idx/distance/valid (C, K) and n_matches (C,).
+    """
+
+    def one(cand):
+        d, v, a = cand
+        return match_descriptors(
+            desc_q, d, valid_q, v, angle_q, a,
+            ratio=ratio, cross_check=cross_check, use_orientation=use_orientation,
+        )
+
+    return jax.lax.map(one, (desc_c, valid_c, angle_c))

@@ -51,10 +51,20 @@ def save_map(slam_map, path: str | Path) -> None:
 
 
 def load_map(path: str | Path):
-    """Rebuild a Map (keyframes + landmarks + observation links) from npz."""
+    """Rebuild a Map (keyframes + landmarks + observation links) from npz.
+
+    Restores the saved frame/keyframe IDS (not just poses) and advances the
+    process-global id counters past the restored maxima: tracking's keyframe
+    gap test compares fresh Frame ids against the restored
+    last_keyframe_frame_id, so a fresh process whose counters restarted at 0
+    would suppress keyframe creation until the old ids were passed, starving
+    the map after resume."""
+    import itertools
+
     import jax.numpy as jnp
 
     from ..map import KeyFrame, Map, MapPoint
+    from ..map.frame import FrameBase
     from ..ops.detector import Features
 
     z = np.load(path)
@@ -75,9 +85,19 @@ def load_map(path: str | Path):
             )
         kf = KeyFrame(features=[feats] if feats is not None else [],
                       timestamp=float(z["kf_timestamps"][r]))
+        kf.id = int(z["kf_frame_ids"][r])
+        kf.keyframe_id = int(z["kf_ids"][r])
         kf.update_pose(z["kf_poses"][r])
         slam_map.add_keyframe(kf)
         kfs.append(kf)
+
+    if n:
+        with FrameBase._ids_lock:
+            nxt = next(FrameBase._ids)
+            FrameBase._ids = itertools.count(max(nxt, int(z["kf_frame_ids"].max()) + 1))
+        with KeyFrame._kf_ids_lock:
+            nxt = next(KeyFrame._kf_ids)
+            KeyFrame._kf_ids = itertools.count(max(nxt, int(z["kf_ids"].max()) + 1))
 
     mps = []
     for pos, color in zip(z["mp_positions"], z["mp_colors"]):
