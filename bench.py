@@ -1,5 +1,6 @@
 """Benchmark: end-to-end tracked FPS at 2000 ORB features on KITTI-sized
-frames (the BASELINE.json north-star metric), plus BA solve latency.
+frames (the BASELINE.json north-star metric), full-SLAM-pipeline FPS + ATE
+(BASELINE config 4), and hardened BA solve latency.
 
 Runs on whatever backend jax selects (the driver runs it on one real TPU
 chip). Prints ONE JSON line:
@@ -7,6 +8,16 @@ chip). Prints ONE JSON line:
 vs_baseline is value / 30 FPS (the north-star real-time target; the
 reference publishes no numbers and is qualitatively not real-time,
 BASELINE.md).
+
+Measurement notes (see CLAUDE.md):
+* BA latency is measured FIRST — the axon relay inflates per-call dispatch
+  of small executables once a large one is resident. Each call gets a
+  DISTINCT problem and a per-call block_until_ready; median + p90 reported.
+* The fused-VO FPS cycles distinct frames with async dispatch (one program
+  per frame, block at the end) — the steady-state deployment shape.
+* The full-pipeline number runs CompiledSLAM end to end: init -> track ->
+  keyframe promotion -> triangulation -> bucketed LM/Schur BA, host decision
+  work included; ATE is Umeyama-aligned (mono gauge) vs the synthetic GT.
 """
 from __future__ import annotations
 
@@ -16,19 +27,23 @@ import time
 import numpy as np
 
 
-def synth_kitti_frames(n_frames=12, H=376, W=1240, f=718.856, n_sprites=900, seed=0):
-    """Sprite-world frames at KITTI resolution (see tests/render.py)."""
+def synth_kitti_frames(n_frames=12, H=376, W=1240, f=718.856, n_sprites=900,
+                       seed=0, step=0.8):
+    """Sprite-world frames at KITTI resolution (see tests/render.py).
+    Returns (frames, K, T_w2c ground truth)."""
     rng = np.random.default_rng(seed)
     K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1.0]], np.float32)
+    span = max(30.0, step * n_frames + 20.0)
     pts = np.stack(
-        [rng.uniform(-30, 40, n_sprites), rng.uniform(-8, 8, n_sprites), rng.uniform(8, 50, n_sprites)], 1
+        [rng.uniform(-30, 10 + span, n_sprites), rng.uniform(-8, 8, n_sprites),
+         rng.uniform(8, 50, n_sprites)], 1
     )
     sizes = rng.uniform(0.15, 0.6, n_sprites)
     intens = rng.uniform(20, 255, n_sprites)
-    frames = []
+    frames, Ts = [], []
     for i in range(n_frames):
         T = np.eye(4)
-        T[0, 3] = -0.8 * i  # camera moving +x
+        T[0, 3] = -step * i  # camera moving +x
         img = np.full((H, W), 110.0, np.float32)
         pc = pts @ T[:3, :3].T + T[:3, 3]
         order = np.argsort(-pc[:, 2])
@@ -46,27 +61,15 @@ def synth_kitti_frames(n_frames=12, H=376, W=1240, f=718.856, n_sprites=900, see
                 continue
             img[iy0:iy1, ix0:ix1] = intens[idx]
         frames.append(img)
-    return frames, K
+        Ts.append(T)
+    return frames, K, np.stack(Ts)
 
 
-def main():
-    import jax
+def make_ba_problem(rng, K_np, Wk=10, M=4096, noise=0.05):
     import jax.numpy as jnp
 
-    from visual_slam_tpu.backend.ba import BAProblem, bundle_adjust
-    from visual_slam_tpu.ops.detector import detect_and_describe
-    from visual_slam_tpu.pipeline import init_track_state, make_track_step
+    from visual_slam_tpu.backend.ba import BAProblem
 
-    num_features = 2000
-    frames, K_np = synth_kitti_frames()
-    K = jnp.asarray(K_np)
-    imgs = [jnp.asarray(f) for f in frames]
-    rng = np.random.default_rng(1)
-
-    # --- BA window latency FIRST: the axon relay inflates per-call dispatch
-    # of small executables once a large one is resident (~0.1ms solve reads
-    # as ~130ms after the tracking program runs; see CLAUDE.md).
-    Wk, M = 10, 4096
     pts = np.stack(
         [rng.uniform(-20, 30, M), rng.uniform(-8, 8, M), rng.uniform(8, 50, M)], 1
     ).astype(np.float32)
@@ -79,49 +82,151 @@ def main():
         pc = pts @ T[j, :3, :3].T + T[j, :3, 3]
         uv[:, j] = pc[:, :2] / np.maximum(pc[:, 2:3], 1e-6)
         valid[:, j] = pc[:, 2] > 1.0
-    problem = BAProblem(
+    return BAProblem(
         T_w2c=jnp.asarray(T),
-        points=jnp.asarray(pts + rng.normal(0, 0.05, pts.shape).astype(np.float32)),
+        points=jnp.asarray(pts + rng.normal(0, noise, pts.shape).astype(np.float32)),
         uv=jnp.asarray(uv),
         obs_valid=jnp.asarray(valid),
         pose_valid=jnp.ones(Wk, bool),
         pose_fixed=jnp.asarray([True] + [False] * (Wk - 1)),
     )
-    huber = 5.0 / float(K_np[0, 0])
-    Tb, Xb, info = bundle_adjust(problem, n_iter=20, huber=huber)
-    jax.block_until_ready(Tb)
-    n_ba = 10
-    t0 = time.perf_counter()
-    for _ in range(n_ba):
-        Tb, Xb, info = bundle_adjust(problem, n_iter=20, huber=huber)
-    jax.block_until_ready(Tb)
-    ba_ms = (time.perf_counter() - t0) / n_ba * 1e3
 
-    # Reference state: features of frame 0 + plausible landmark slots.
+
+def bench_ba(K_np):
+    """Median/p90 BA latency over DISTINCT problems, blocked per call."""
+    import jax
+
+    from visual_slam_tpu.backend.ba import bundle_adjust
+
+    rng = np.random.default_rng(1)
+    huber = 5.0 / float(K_np[0, 0])
+    problems = [make_ba_problem(rng, K_np) for _ in range(8)]
+    # Warmup/compile on a throwaway problem.
+    Tb, _, _ = bundle_adjust(make_ba_problem(rng, K_np), n_iter=20, huber=huber)
+    jax.block_until_ready(Tb)
+    times = []
+    for p in problems:
+        t0 = time.perf_counter()
+        Tb, _, _ = bundle_adjust(p, n_iter=20, huber=huber)
+        jax.block_until_ready(Tb)
+        times.append((time.perf_counter() - t0) * 1e3)
+    times = np.asarray(times)
+    return float(np.median(times)), float(np.percentile(times, 90))
+
+
+def bench_vo_step(imgs, K_np, num_features=2000):
+    """Steady-state fused VO step FPS (async dispatch, distinct frames)."""
+    import jax
+    import jax.numpy as jnp
+
+    from visual_slam_tpu.ops.detector import detect_and_describe
+    from visual_slam_tpu.pipeline import init_track_state, make_track_step
+
+    rng = np.random.default_rng(1)
+    K = jnp.asarray(K_np)
     feats0 = detect_and_describe(imgs[0], num_features=num_features, threshold=20.0, n_levels=4)
-    # Backproject the detected keypoints at plausible depths -> landmark per slot.
     xy = np.asarray(feats0.xy)
     z = rng.uniform(8, 40, num_features).astype(np.float32)
     Kinv = np.linalg.inv(K_np)
     rays = np.concatenate([xy, np.ones((num_features, 1), np.float32)], 1) @ Kinv.T
     landmarks = rays * z[:, None]
     state = init_track_state(feats0, landmarks, np.asarray(feats0.valid), np.eye(4), seed=0)
-
     step = make_track_step(K, num_features=num_features, n_levels=4)
-
-    # Warmup/compile.
     state_w, out = step(state, imgs[1])
     jax.block_until_ready(out.T_w2c)
-
-    # Steady-state timing: cycle through distinct frames to defeat caching.
     n_iter = 60
     t0 = time.perf_counter()
     s = state
     for i in range(n_iter):
         s, out = step(s, imgs[1 + (i % (len(imgs) - 1))])
     jax.block_until_ready(out.T_w2c)
+    return n_iter / (time.perf_counter() - t0)
+
+
+def bench_full_pipeline(num_features=2000, n_frames=40, frame_kw=None):
+    """CompiledSLAM end to end on a KITTI-sized synthetic sequence: FPS with
+    all host decision/keyframe/BA work included, plus mono-aligned ATE."""
+    import jax
+
+    from visual_slam_tpu.camera import PinholeCamera
+    from visual_slam_tpu.config import Config
+    from visual_slam_tpu.models import CompiledSLAM
+    from visual_slam_tpu.utils.metrics import ate_rmse
+
+    kw = dict(step=0.6, n_sprites=1500)
+    kw.update(frame_kw or {})
+    frames, K_np, Ts_gt = synth_kitti_frames(n_frames=n_frames, seed=3, **kw)
+    cfg = Config()
+    cfg.feature.num_features = num_features
+    cfg.tracking.keyframe_interval = 4
+    cfg.optimization.max_points = 4096
+    cfg.initialization.min_inliers = min(100, max(30, num_features // 20))
+    cam = PinholeCamera(width=frames[0].shape[1], height=frames[0].shape[0],
+                        K=np.asarray(K_np, np.float64))
+    slam = CompiledSLAM(cam, cfg)
+
+    # Bootstrap + compile outside the timed window (compiles are a one-time
+    # per-deployment cost; the metric is steady-state sensor-rate capacity).
+    i = 0
+    while slam.state.name != "OK" and i < 6:
+        slam.track([frames[i]], timestamp=i * 0.1)
+        i += 1
+    if slam.state.name != "OK":
+        return None
+    # One steady-state frame + one keyframe cycle to trigger compiles.
+    slam.track([frames[i]], timestamp=i * 0.1)
+    i += 1
+
+    t0 = time.perf_counter()
+    n_timed = 0
+    for k in range(i, len(frames)):
+        slam.track([frames[k]], timestamp=k * 0.1)
+        n_timed += 1
+    slam.flush()
+    ts, Ts = slam.trajectory()  # blocks on every pose
     dt = time.perf_counter() - t0
-    fps = n_iter / dt
+    fps = n_timed / dt
+
+    idx = [int(round(t / 0.1)) for t in ts]
+    est = np.stack([-T[:3, :3].T @ T[:3, 3] for T in Ts])
+    gt = np.stack([-Ts_gt[j][:3, :3].T @ Ts_gt[j][:3, 3] for j in idx])
+    res = ate_rmse(est, gt, align_scale=True)
+    path_len = float(np.linalg.norm(np.diff(gt, axis=0), axis=1).sum())
+    return {
+        "fps": round(fps, 2),
+        "ate_rmse": round(float(res["rmse"]), 4),
+        "ate_pct_of_path": round(100.0 * float(res["rmse"]) / max(path_len, 1e-9), 3),
+        "frames_timed": n_timed,
+        "keyframes": slam.map.num_keyframes(),
+        "landmarks": slam.map.num_map_points(),
+    }
+
+
+def main():
+    import jax
+
+    num_features = 2000
+    frames, K_np, _ = synth_kitti_frames()
+    import jax.numpy as jnp
+
+    imgs = [jnp.asarray(f) for f in frames]
+
+    # BA first (relay dispatch inflation, see module docstring).
+    ba_med, ba_p90 = bench_ba(K_np)
+    fps = bench_vo_step(imgs, K_np, num_features)
+    full = bench_full_pipeline(num_features)
+
+    extra = {
+        "ba_ms_median_10kf_4096pts_20iter": round(ba_med, 3),
+        "ba_ms_p90": round(ba_p90, 3),
+        "backend": jax.devices()[0].platform,
+        "device": str(jax.devices()[0]),
+    }
+    if full is not None:
+        extra["full_pipeline_fps"] = full["fps"]
+        extra["full_pipeline_ate_pct_of_path"] = full["ate_pct_of_path"]
+        extra["full_pipeline_keyframes"] = full["keyframes"]
+        extra["full_pipeline_landmarks"] = full["landmarks"]
 
     print(
         json.dumps(
@@ -130,11 +235,7 @@ def main():
                 "value": round(fps, 2),
                 "unit": "fps",
                 "vs_baseline": round(fps / 30.0, 3),
-                "extra": {
-                    "ba_ms_per_window_10kf_4096pts_20iter": round(ba_ms, 2),
-                    "backend": jax.devices()[0].platform,
-                    "device": str(jax.devices()[0]),
-                },
+                "extra": extra,
             }
         )
     )

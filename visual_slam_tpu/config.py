@@ -82,6 +82,11 @@ class TrackingConfig:
     # Fuse detect+guided-match+PnP into one device program per frame
     # (trackingalgorithm.FusedMonoTracking)
     fused_pipeline: bool = False
+    # Local-map landmark arena for the compiled step's projection-guided
+    # association (CompiledSLAM); 0 disables the stage.
+    local_map_size: int = 4096
+    guided_radius_px: float = 25.0
+    guided_ratio: float = 0.8
 
 
 @dataclass

@@ -4,11 +4,24 @@ tracking step.
 The flexible host pipeline (slam.SLAM) issues several device calls per frame;
 this variant issues exactly ONE per tracked frame — pipeline.track_step — and
 reuses its outputs (features, matches, PnP inliers) for keyframe promotion,
-so the per-frame cost equals the benchmark path (~100 FPS on v5e at 2000
-features). Host work happens only at keyframe boundaries: landmark
-inheritance from the reference block, fixed-shape triangulation of new
-landmarks against the previous keyframe, bucketed LM/Schur bundle adjustment,
-and a reference swap.
+so the per-frame cost equals the benchmark path. Two design rules keep the
+device pipeline full:
+
+* The step itself carries the local-map association: a device-resident
+  landmark arena (positions + descriptors) is projection-guided-matched
+  inside the compiled program (ops.guided_matching), so tracking uses the
+  whole local map — not just the reference keyframe block — with zero extra
+  dispatches (the ORB-SLAM "track local map" stage; the reference tracks
+  against the latest keyframe only, visual_slam/tracking.py:331-413).
+* Host decisions (keyframe promotion, LOST) read the PREVIOUS frame's
+  scalars, which are already materialized by the time the next frame is
+  submitted — no per-frame device->host sync stalls the pipeline. Per-frame
+  poses are kept as device arrays and materialized lazily (trajectory()).
+
+Host work happens only at keyframe boundaries: landmark inheritance from the
+guided/reference associations, fixed-shape triangulation of new landmarks
+against the previous keyframe, bucketed LM/Schur bundle adjustment, and a
+reference + arena swap.
 
 This is the deployment configuration for the "full pipeline at sensor rate"
 workload (BASELINE config 4).
@@ -26,7 +39,12 @@ from ..config import Config
 from ..map import Frame, KeyFrame, Map, MapPoint
 from ..ops import triangulation as tri_ops
 from ..ops.projection import normalize_points
-from ..pipeline import init_track_state, make_track_step, swap_reference
+from ..pipeline import (
+    init_track_state,
+    make_track_step,
+    set_local_map,
+    swap_reference,
+)
 from ..state import State
 from ..utils.logging import get_logger
 
@@ -46,6 +64,7 @@ class CompiledSLAM:
         self.map = Map(max_frames=self.config.map.max_frames)
         self.optimizer = LMOptimizer(self.config, camera, logger=self.logger)
         self.state = State.NO_IMAGES_YET
+        self._arena_size = int(tcfg.local_map_size)
         self._step = make_track_step(
             jnp.asarray(camera.K, jnp.float32),
             num_features=fcfg.num_features,
@@ -56,11 +75,20 @@ class CompiledSLAM:
             ratio=tcfg.match_ratio,
             pnp_hypotheses=tcfg.pnp_hypotheses,
             pnp_threshold_px=tcfg.pnp_threshold_px,
+            local_map=self._arena_size > 0,
+            width=camera.width,
+            height=camera.height,
+            guided_radius_px=tcfg.guided_radius_px,
+            guided_ratio=tcfg.guided_ratio,
         )
         self._track_state = None
-        self._init_frames: list[tuple[np.ndarray, float]] = []
         self._frames_since_kf = 0
-        self.poses: list[tuple[float, np.ndarray]] = []  # (ts, T_w2c) per frame
+        self.poses: list[tuple[float, object]] = []  # (ts, T_w2c) device arrays
+        # Previous frame's step output, deferred for the host decision:
+        # (out, timestamp, ref_kf, arena) — ref/arena AT SUBMIT TIME, so a
+        # promotion triggered by an older frame cannot misalign the indices.
+        self._pending = None
+        self._lm_arena: list[Optional[MapPoint]] = []
         # Bootstrap reuses the host initializer (runs once).
         from ..frontend.tracker import FeatureTracker
         from ..initializer import Initializer
@@ -80,7 +108,27 @@ class CompiledSLAM:
             return self._bootstrap(img, timestamp, depth)
         return self._track_compiled(img, timestamp)
 
+    def flush(self) -> dict:
+        """Apply the deferred decision for the last submitted frame (call at
+        sequence end so the final keyframe/LOST decision is not dropped)."""
+        info = {}
+        if self._pending is not None:
+            pending, self._pending = self._pending, None
+            info = self._decide(*pending)
+        return info
+
+    def trajectory(self) -> tuple[np.ndarray, np.ndarray]:
+        """Materialize per-frame poses: (timestamps (N,), T_w2c (N, 4, 4)).
+        One stacked device->host transfer, not N (each transfer is a full
+        round trip on remote-attached devices)."""
+        if not self.poses:
+            return np.zeros(0), np.zeros((0, 4, 4))
+        ts = np.asarray([t for t, _ in self.poses])
+        Ts = np.asarray(jnp.stack([T for _, T in self.poses]), np.float64)
+        return ts, Ts
+
     def shutdown(self) -> None:
+        self.flush()
         self.logger.info(
             "shutdown: %d keyframes, %d landmarks, %d frame poses",
             self.map.num_keyframes(), self.map.num_map_points(), len(self.poses),
@@ -101,14 +149,17 @@ class CompiledSLAM:
             self.state = State.OK
             kf = self.map.get_last_keyframe()
             self._install_reference(kf, T_init=kf.T_w2c)
-            self.poses.append((timestamp, np.asarray(kf.T_w2c)))
+            self.poses.append((timestamp, jnp.asarray(kf.T_w2c, jnp.float32)))
         return {"state": self.state.name}
 
     def _relocalize(self, img, timestamp) -> dict:
         """LOST recovery: retry the compiled step against each recent
         keyframe's reference block (the step IS a PnP relocalization when
-        given a candidate reference)."""
+        given a candidate reference). On failure the pre-attempt reference is
+        restored so tracking state never points at a failed candidate."""
         tcfg = self.config.tracking
+        orig_ref = getattr(self, "_ref_kf", None)
+        orig_state = self._track_state
         for kf in reversed(self.map.get_keyframes()[-5:]):
             self._install_reference(kf, T_init=kf.T_w2c)
             self._track_state, out = self._step(
@@ -118,39 +169,88 @@ class CompiledSLAM:
             if n_inl >= tcfg.min_inliers:
                 self.state = State.OK
                 T = np.asarray(out.T_w2c, np.float64)
-                self.poses.append((timestamp, T))
+                self.poses.append((timestamp, out.T_w2c))
+                self._frames_since_kf = 0
+                self._pending = None
                 self.logger.info("relocalized against KF %d (%d inliers)",
                                  kf.keyframe_id, n_inl)
                 return {"state": self.state.name, "relocalized": True,
-                        "n_inliers": n_inl}
+                        "n_inliers": n_inl, "T_w2c": T}
+        if orig_ref is not None:
+            self._track_state = orig_state
+            self._ref_kf = orig_ref
         return {"state": self.state.name, "relocalized": False}
 
     def _install_reference(self, kf: KeyFrame, T_init: np.ndarray) -> None:
         pos, mask = kf.point_arrays(0)
         feats = kf.get_features(0)
         if self._track_state is None:
-            self._track_state = init_track_state(feats, pos, mask, T_init)
+            self._track_state = init_track_state(
+                feats, pos, mask, T_init, local_map_size=self._arena_size
+            )
         else:
             self._track_state = swap_reference(self._track_state, feats, pos, mask)
             self._track_state = self._track_state._replace(
                 T_w2c=jnp.asarray(T_init, jnp.float32)
             )
         self._ref_kf = kf
+        if self._arena_size:
+            self._refresh_arena()
+
+    def _refresh_arena(self) -> None:
+        """Fill the device landmark arena with the local map: landmarks
+        observed by the most recent keyframes, best-observed first."""
+        M = self._arena_size
+        seen: dict[int, MapPoint] = {}
+        for kf in reversed(self.map.get_keyframes()[-8:]):
+            for mp in kf.map_points.values():
+                if not mp.is_bad and mp.id not in seen:
+                    seen[mp.id] = mp
+            if len(seen) >= M:
+                break
+        arena = sorted(seen.values(), key=lambda mp: -mp.num_observations())[:M]
+        pos = np.zeros((M, 3), np.float32)
+        desc = np.zeros((M, 8), np.uint32)
+        valid = np.zeros((M,), bool)
+        for r, mp in enumerate(arena):
+            pos[r] = mp.position
+            if mp.descriptor is not None:
+                desc[r] = np.asarray(mp.descriptor).reshape(-1)[:8]
+                valid[r] = True
+        self._lm_arena = arena
+        self._track_state = set_local_map(self._track_state, pos, desc, valid)
 
     # ------------------------------------------------------- steady state
     def _track_compiled(self, img, timestamp) -> dict:
         self._track_state, out = self._step(
             self._track_state, jnp.asarray(img, jnp.float32)
         )
-        n_inl = int(out.n_inliers)
-        T = np.asarray(out.T_w2c, np.float64)
-        self.poses.append((timestamp, T))
-        info = {"state": self.state.name, "n_inliers": n_inl,
-                "n_matches": int(out.n_matches)}
+        self.poses.append((timestamp, out.T_w2c))
         self._frames_since_kf += 1
+        info = {"state": self.state.name}
+        # Start the decision scalars' device->host copies NOW, so by the
+        # time the next frame's call reads them they are already local (a
+        # synchronous fetch costs a full round trip on remote devices).
+        for arr in (out.n_inliers, out.n_matches):
+            copy_async = getattr(arr, "copy_to_host_async", None)
+            if copy_async is not None:
+                copy_async()
+        # Decide on the PREVIOUS frame (its scalars are already on host-
+        # reachable memory; converting them does not stall the device).
+        pending, self._pending = self._pending, (
+            out, timestamp, self._ref_kf, self._lm_arena
+        )
+        if pending is not None:
+            info.update(self._decide(*pending))
+        return info
+
+    def _decide(self, out, timestamp, ref_kf, arena) -> dict:
+        n_inl = int(out.n_inliers)
+        info = {"n_inliers": n_inl, "n_matches": int(out.n_matches)}
         tcfg = self.config.tracking
         if n_inl < tcfg.min_inliers:
             self.state = State.LOST
+            self._pending = None
             info["state"] = self.state.name
             self.logger.warning("compiled tracking lost (%d inliers)", n_inl)
             return info
@@ -158,33 +258,63 @@ class CompiledSLAM:
             self._frames_since_kf > tcfg.keyframe_interval
             or n_inl < tcfg.kf_min_matches
         ):
-            self._promote_keyframe(out, timestamp, T)
+            # The trigger reads the PREVIOUS frame's (already materialized)
+            # scalars, but the keyframe itself is the NEWEST submitted frame:
+            # a keyframe boundary syncs the host for BA anyway, and promoting
+            # the older frame would make the reference one frame staler for
+            # free (A/B: costs matches under fast motion).
+            if self._pending is not None:
+                p_out, p_ts, p_ref, p_arena = self._pending
+                if int(p_out.n_inliers) >= tcfg.min_inliers:
+                    self._pending = None
+                    self._promote_keyframe(p_out, p_ts, p_ref, p_arena)
+                else:  # newest frame is about to go LOST — keep the good one
+                    self._promote_keyframe(out, timestamp, ref_kf, arena)
+            else:  # flush path: the decided frame is the newest
+                self._promote_keyframe(out, timestamp, ref_kf, arena)
             info["new_keyframe"] = True
         return info
 
-    def _promote_keyframe(self, out, timestamp: float, T: np.ndarray) -> None:
+    def _promote_keyframe(self, out, timestamp: float, ref: KeyFrame, arena) -> None:
         """Keyframe boundary: all data comes from the track step's outputs —
-        no re-detection, no extra matching."""
+        no re-detection, no extra matching. ``ref``/``arena`` are the blocks
+        that were installed when this frame's step ran."""
+        T = np.asarray(out.T_w2c, np.float64)
         frame = Frame(features=[out.features], timestamp=timestamp)
         frame.update_pose(T)
         kf = KeyFrame.from_frame(frame)
-        ref = self._ref_kf
 
         ti = np.asarray(out.match_train_idx)
         m_ok = np.asarray(out.match_valid)
         inl = np.asarray(out.pnp_inliers)
+        g_idx = np.asarray(out.guided_idx) if out.guided_idx is not None else None
+        g_ok = (
+            np.asarray(out.guided_valid)
+            if out.guided_valid is not None
+            else np.zeros_like(m_ok)
+        )
 
-        # Inherit landmarks: current kp i matched ref slot ti[i] that carries
-        # a landmark and survived PnP.
+        # Inherit landmarks. Guided association wins (it is what PnP used):
+        # current kp i <- arena row g_idx[i]. Reference-block association
+        # covers the rest: kp i matched ref slot ti[i] carrying a landmark.
         _, ref_mask = ref.point_arrays(0)
-        inherit = m_ok & inl & ref_mask[ti]
-        for i in np.nonzero(inherit)[0]:
+        inherited = np.zeros(len(m_ok), bool)
+        if g_idx is not None and len(arena):
+            for i in np.nonzero(g_ok & inl)[0]:
+                r = int(g_idx[i])
+                if r < len(arena):
+                    mp = arena[r]
+                    if mp is not None and not mp.is_bad:
+                        kf.add_map_point(0, int(i), mp)
+                        inherited[i] = True
+        for i in np.nonzero(m_ok & inl & ref_mask[ti] & ~inherited)[0]:
             mp = ref.get_map_point(0, int(ti[i]))
             if mp is not None and not mp.is_bad:
                 kf.add_map_point(0, int(i), mp)
+                inherited[i] = True
 
         # Triangulate new landmarks from matched-but-landmarkless pairs.
-        tri_mask = m_ok & ~ref_mask[ti]
+        tri_mask = m_ok & ~ref_mask[ti] & ~inherited
         self._triangulate(kf, ref, ti, tri_mask, out)
 
         self.map.add_keyframe(kf)

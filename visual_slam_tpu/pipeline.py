@@ -31,6 +31,12 @@ class TrackState(NamedTuple):
     T_w2c: jnp.ndarray  # (4, 4) current pose
     T_rel: jnp.ndarray  # (4, 4) constant-velocity motion model
     key: jnp.ndarray  # PRNG state
+    # Local-map landmark arena (projection-guided association inside the
+    # fused step — the ORB-SLAM "track local map" stage). All-invalid blocks
+    # disable the stage's effect without changing the compiled program.
+    lm_pos: jnp.ndarray = None  # (M, 3)
+    lm_desc: jnp.ndarray = None  # (M, 8) packed rBRIEF
+    lm_valid: jnp.ndarray = None  # (M,) bool
 
 
 class TrackOutput(NamedTuple):
@@ -41,6 +47,10 @@ class TrackOutput(NamedTuple):
     match_train_idx: jnp.ndarray
     match_valid: jnp.ndarray
     pnp_inliers: jnp.ndarray
+    # Guided local-map association per current keypoint (arena row + valid);
+    # zeros when the step was built without a local map.
+    guided_idx: jnp.ndarray = None
+    guided_valid: jnp.ndarray = None
 
 
 def make_track_step(
@@ -53,16 +63,31 @@ def make_track_step(
     ratio: float = 0.75,
     pnp_hypotheses: int = 128,
     pnp_threshold_px: float = 3.0,
+    local_map: bool = False,
+    width: float | None = None,
+    height: float | None = None,
+    guided_radius_px: float = 25.0,
+    guided_ratio: float = 0.8,
 ):
     # 128 hypotheses: at the >=60% inlier ratios of steady-state tracking the
     # clean-sample probability is ~1 - 1e-6, and the motion-model GN fallback
     # covers degraded frames; 256 costs ~35% of the frame budget (measured
     # 75 -> 118 FPS going 256 -> 64 on v5e).
-    """Build the jitted per-frame tracking step for a fixed camera/config."""
+    """Build the jitted per-frame tracking step for a fixed camera/config.
+
+    With ``local_map=True`` the step additionally projects the state's
+    landmark arena into the constant-velocity predicted pose and associates
+    landmarks to keypoints inside a pixel window (ops.guided_matching) — the
+    ORB-SLAM "track local map" stage the reference lacks — and PnP runs on
+    the union of guided and reference-block pairs (guided wins per keypoint:
+    it covers landmarks the reference block never saw)."""
     Kinv = jnp.linalg.inv(K)
     focal = K[0, 0]
     thresh = pnp_threshold_px / focal
+    w_img = float(width) if width is not None else float(2.0 * K[0, 2])
+    h_img = float(height) if height is not None else float(2.0 * K[1, 2])
     from .ops import orb as orb_ops
+    from .ops.guided_matching import guided_match
 
     @jax.jit
     def _track_step(state: TrackState, img: jnp.ndarray, sampling: jnp.ndarray):
@@ -87,6 +112,23 @@ def make_track_step(
 
         key, sub = jax.random.split(state.key)
         T_pred = state.T_rel @ state.T_w2c
+        if local_map:
+            g = guided_match(
+                state.lm_pos, state.lm_desc, state.lm_valid, T_pred, K,
+                feats.xy, feats.desc, feats.valid, w_img, h_img,
+                radius_px=guided_radius_px, ratio=guided_ratio,
+            )
+            guided_idx = g["lm_idx"]
+            # The cross-checked, orientation-filtered reference-block match
+            # is the stricter association — keep it where present; guided
+            # pairs (ratio-only, radius-gated) fill keypoints the reference
+            # block could not serve (A/B: guided-wins degraded ATE 3.7x).
+            guided_valid = g["valid"] & ~pair_valid
+            pts3d = jnp.where(guided_valid[:, None], g["pts3d"], pts3d)
+            pair_valid = guided_valid | pair_valid
+        else:
+            guided_idx = jnp.zeros(num_features, jnp.int32)
+            guided_valid = jnp.zeros(num_features, bool)
         res = ransac_pnp(
             pts3d, xy_norm, pair_valid, sub,
             n_hyp=pnp_hypotheses, thresh=thresh,
@@ -109,14 +151,7 @@ def make_track_step(
         T_new = jnp.where(ok, T_new, T_pred)
         T_rel = jnp.where(ok, T_new @ jnp.linalg.inv(state.T_w2c), state.T_rel)
 
-        new_state = TrackState(
-            ref_feats=state.ref_feats,
-            ref_landmarks=state.ref_landmarks,
-            ref_has_landmark=state.ref_has_landmark,
-            T_w2c=T_new,
-            T_rel=T_rel,
-            key=key,
-        )
+        new_state = state._replace(T_w2c=T_new, T_rel=T_rel, key=key)
         out = TrackOutput(
             T_w2c=T_new,
             n_inliers=n_inl,
@@ -125,6 +160,8 @@ def make_track_step(
             match_train_idx=ti,
             match_valid=match["valid"],
             pnp_inliers=inliers,
+            guided_idx=guided_idx,
+            guided_valid=guided_valid,
         )
         return new_state, out
 
@@ -231,7 +268,13 @@ def init_track_state(
     ref_has_landmark: jnp.ndarray,
     T_w2c: jnp.ndarray,
     seed: int = 0,
+    local_map_size: int = 0,
 ) -> TrackState:
+    lm_pos = lm_desc = lm_valid = None
+    if local_map_size:
+        lm_pos = jnp.zeros((local_map_size, 3), jnp.float32)
+        lm_desc = jnp.zeros((local_map_size, ref_feats.desc.shape[-1]), ref_feats.desc.dtype)
+        lm_valid = jnp.zeros((local_map_size,), bool)
     return TrackState(
         ref_feats=ref_feats,
         ref_landmarks=jnp.asarray(ref_landmarks, jnp.float32),
@@ -239,6 +282,24 @@ def init_track_state(
         T_w2c=jnp.asarray(T_w2c, jnp.float32),
         T_rel=jnp.eye(4, dtype=jnp.float32),
         key=jax.random.PRNGKey(seed),
+        lm_pos=lm_pos,
+        lm_desc=lm_desc,
+        lm_valid=lm_valid,
+    )
+
+
+def set_local_map(
+    state: TrackState,
+    lm_pos: jnp.ndarray,
+    lm_desc: jnp.ndarray,
+    lm_valid: jnp.ndarray,
+) -> TrackState:
+    """Install/refresh the local-map landmark arena (keyframe boundaries).
+    Shapes must match the arena capacity the state was initialized with."""
+    return state._replace(
+        lm_pos=jnp.asarray(lm_pos, jnp.float32),
+        lm_desc=jnp.asarray(lm_desc),
+        lm_valid=jnp.asarray(lm_valid),
     )
 
 
