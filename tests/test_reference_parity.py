@@ -84,7 +84,7 @@ def _run_reference(frames, K, tmp_path, min_inliers):
         states.append(st)
         cur = slam.tracking.current_frame
         if cur is not None and st == "OK":
-            poses[i] = np.asarray(cur.pose.Tcw)
+            poses[i] = np.asarray(cur.pose)  # reference Pose exposes __array__ -> T (w2c)
     slam.shutdown()
     return poses, states
 

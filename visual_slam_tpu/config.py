@@ -87,6 +87,14 @@ class TrackingConfig:
     local_map_size: int = 4096
     guided_radius_px: float = 25.0
     guided_ratio: float = 0.8
+    # Depth-aware tracking (stereo disparity / RGB-D depth residual in PnP —
+    # the second modality constrains pose every frame, not only at keyframes)
+    use_depth_residual: bool = True
+    # Virtual baseline (m) for the RGB-D disparity residual (ORB-SLAM2-style
+    # bf synthesis; stereo uses the real camera baseline).
+    rgbd_virtual_baseline: float = 0.08
+    stereo_row_tolerance: float = 2.0
+    depth_scale: float = 1.0
 
 
 @dataclass

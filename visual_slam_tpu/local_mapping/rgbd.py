@@ -29,30 +29,33 @@ class RGBDKeyframeHandler(BaseKeyframeHandler):
 
     def _create_depth_points(self, kf: KeyFrame) -> int:
         feats = kf.get_features(0)
-        depth = kf.depth
-        if feats is None or depth is None:
+        if feats is None:
             return 0
         lcfg = self.config.local_mapping
+        # Reuse the tracking-time per-keypoint depth measurement when the
+        # frame carries one; otherwise one batched lookup (ops/stereo.py).
+        z = getattr(kf, "kp_z", None)
+        ok = getattr(kf, "kp_z_valid", None)
+        if z is None or ok is None:
+            if kf.depth is None:
+                return 0
+            import jax.numpy as jnp
+
+            from ..ops.stereo import sample_depth_at
+
+            res = sample_depth_at(jnp.asarray(kf.depth), feats.xy, self.depth_scale)
+            z = np.asarray(res["z"])
+            ok = np.asarray(res["valid"]) & np.asarray(feats.valid)
+        ok = ok & (z > lcfg.min_depth) & (z < lcfg.max_depth)
         xy = np.asarray(feats.xy)
-        valid = np.asarray(feats.valid)
-        Kinv = self.camera.Kinv
-        R_c2w = kf.R_c2w
-        t_c2w = kf.t_c2w
+        rays = np.concatenate([xy, np.ones((len(xy), 1))], axis=1) @ self.camera.Kinv.T
+        p_w = (rays * z[:, None]) @ kf.R_c2w.T + kf.t_c2w
         created = 0
-        H, W = depth.shape[:2]
-        for i in np.nonzero(valid)[0]:
+        for i in np.nonzero(ok)[0]:
             if kf.get_map_point(0, int(i)) is not None:
                 continue
-            u, v = xy[i]
-            ui, vi = int(round(u)), int(round(v))
-            if not (0 <= ui < W and 0 <= vi < H):
-                continue
-            z = float(depth[vi, ui]) * self.depth_scale
-            if not (lcfg.min_depth < z < lcfg.max_depth):
-                continue
-            ray = Kinv @ np.array([u, v, 1.0])
-            p_w = R_c2w @ (ray * z) + t_c2w
-            mp = MapPoint(p_w, color=_pixel_color(kf.get_image(0), xy[i]))
+            mp = MapPoint(p_w[i], color=_pixel_color(kf.get_image(0), xy[i]))
+            mp.descriptor = np.asarray(feats.desc[i])
             kf.add_map_point(0, int(i), mp)
             self.map.add_map_point(mp)
             created += 1

@@ -32,42 +32,41 @@ class StereoKeyframeHandler(BaseKeyframeHandler):
 
     def _create_stereo_points(self, kf: KeyFrame) -> int:
         fl = kf.get_features(0)
-        fr = kf.get_features(1)
-        if fl is None or fr is None:
+        if fl is None:
             return 0
         bf = getattr(self.camera, "bf", 0.0)
         if bf <= 0:
             self.logger.warning("stereo handler: camera has no baseline")
             return 0
-        r = self.tracker.match(fl, fr)
-        ti = np.asarray(r.train_idx)
-        ok = np.asarray(r.valid)
-        xy_l = np.asarray(fl.xy)
-        xy_r = np.asarray(fr.xy)
         lcfg = self.config.local_mapping
+        # Per-keypoint depths: reuse the tracking-time measurement when the
+        # frame carries one; otherwise one batched row-gated Hamming dispatch
+        # (ops/stereo.py — replaces the per-pair Python loop of round 1).
+        z = getattr(kf, "kp_z", None)
+        ok = getattr(kf, "kp_z_valid", None)
+        if z is None or ok is None:
+            fr = kf.get_features(1)
+            if fr is None:
+                return 0
+            from ..ops.stereo import stereo_feature_depths
+
+            res = stereo_feature_depths(
+                fl.xy, fl.desc, fl.valid, fr.xy, fr.desc, fr.valid,
+                float(bf), row_tolerance=self.row_tolerance,
+                max_disparity=float(bf) / max(lcfg.min_depth, 1e-6),
+            )
+            z = np.asarray(res["z"])
+            ok = np.asarray(res["valid"])
+        ok = ok & (z > lcfg.min_depth) & (z < lcfg.max_depth)
+        xy_l = np.asarray(fl.xy)
+        # Batched backprojection; only MapPoint object creation stays host-side.
+        rays = np.concatenate([xy_l, np.ones((len(xy_l), 1))], axis=1) @ self.camera.Kinv.T
+        p_w = (rays * z[:, None]) @ kf.R_c2w.T + kf.t_c2w
         created = 0
-        R_c2w = kf.R_c2w
-        t_c2w = kf.t_c2w
-        Kinv = self.camera.Kinv
         for i_l in np.nonzero(ok)[0]:
-            i_r = int(ti[i_l])
-            ul, vl = xy_l[i_l]
-            ur, vr = xy_r[i_r]
-            # Rectified epipolar constraint: same row, positive disparity
-            # (reference stereo row/disparity filter, matching.py:192-228).
-            if abs(vl - vr) > self.row_tolerance:
-                continue
-            disp = ul - ur
-            if disp <= 0.1:
-                continue
-            z = bf / disp
-            if not (lcfg.min_depth < z < lcfg.max_depth):
-                continue
-            ray = Kinv @ np.array([ul, vl, 1.0])
-            p_cam = ray * z
-            p_w = R_c2w @ p_cam + t_c2w
             if kf.get_map_point(0, int(i_l)) is None:
-                mp = MapPoint(p_w, color=_pixel_color(kf.get_image(0), xy_l[i_l]))
+                mp = MapPoint(p_w[i_l], color=_pixel_color(kf.get_image(0), xy_l[i_l]))
+                mp.descriptor = np.asarray(fl.desc[i_l])
                 kf.add_map_point(0, int(i_l), mp)
                 self.map.add_map_point(mp)
                 created += 1

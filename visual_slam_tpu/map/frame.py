@@ -117,6 +117,10 @@ class Frame(FrameBase):
         self.images_gray = images_gray or []
         self.features: List[Features] = features or []
         self.depth = depth
+        # Per-keypoint depth measurements for cam 0 (stereo disparity /
+        # RGB-D lookup), slot-aligned with features[0]; None on mono frames.
+        self.kp_z: np.ndarray | None = None
+        self.kp_z_valid: np.ndarray | None = None
 
     # -- per-camera accessors ----------------------------------------------
     def num_cameras(self) -> int:

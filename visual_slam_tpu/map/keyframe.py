@@ -47,6 +47,8 @@ class KeyFrame(Frame):
             pose=frame.pose,
         )
         kf.id = frame.id  # keep source frame id (see module docstring)
+        kf.kp_z = frame.kp_z
+        kf.kp_z_valid = frame.kp_z_valid
         with KeyFrame._kf_ids_lock:
             kf.keyframe_id = next(KeyFrame._kf_ids)
         kf.map_points = {}

@@ -24,6 +24,7 @@ class Map:
         self._lock = threading.RLock()
         self._frames: Deque[Frame] = deque(maxlen=max_frames)
         self._keyframes: List[KeyFrame] = []
+        self._kf_by_id: Dict[int, KeyFrame] = {}
         # Keyed by landmark id (insertion-ordered): iteration order must be
         # deterministic — a set here would make BA packing order depend on
         # object addresses and results vary run to run.
@@ -50,13 +51,19 @@ class Map:
     def add_keyframe(self, kf: KeyFrame) -> None:
         with self._lock:
             self._keyframes.append(kf)
+            self._kf_by_id[kf.keyframe_id] = kf
 
     def remove_keyframe(self, kf: KeyFrame) -> None:
         with self._lock:
             if kf in self._keyframes:
                 self._keyframes.remove(kf)
+            self._kf_by_id.pop(kf.keyframe_id, None)
             for (cam_id, kp_idx) in list(kf.map_points.keys()):
                 kf.remove_map_point(cam_id, kp_idx)
+
+    def get_keyframe_by_id(self, kf_id: int) -> Optional[KeyFrame]:
+        with self._lock:
+            return self._kf_by_id.get(kf_id)
 
     def get_keyframes(self) -> List[KeyFrame]:
         with self._lock:
@@ -76,13 +83,19 @@ class Map:
             self._points[mp.id] = mp
 
     def remove_map_point(self, mp: MapPoint) -> None:
+        # O(observations) via the landmark's back-links (not an O(KFs x
+        # points) scan): each observation names exactly the (kf, cam, kp)
+        # slot holding this landmark.
         with self._lock:
             self._points.pop(mp.id, None)
             mp.set_bad()
-            for kf in self._keyframes:
-                for key, val in list(kf.map_points.items()):
-                    if val is mp:
-                        del kf.map_points[key]
+            for kf_id, cam_id, kp_idx in list(mp.observations.items()):
+                kf = self._kf_by_id.get(kf_id)
+                if kf is not None and kf.map_points.get((cam_id, kp_idx)) is mp:
+                    del kf.map_points[(cam_id, kp_idx)]
+            # Stale links can exist only if a keyframe was never registered
+            # with the map (e.g. pre-insertion init keyframes) — those clean
+            # themselves up when the keyframe is dropped.
 
     def get_map_points(self) -> List[MapPoint]:
         with self._lock:
@@ -145,4 +158,5 @@ class Map:
         with self._lock:
             self._frames.clear()
             self._keyframes.clear()
+            self._kf_by_id.clear()
             self._points.clear()

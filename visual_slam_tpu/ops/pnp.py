@@ -125,6 +125,167 @@ def refine_pose_gn(
     return R, t
 
 
+def refine_pose_gn_depth(
+    R0: jnp.ndarray,
+    t0: jnp.ndarray,
+    pts3d: jnp.ndarray,
+    xy: jnp.ndarray,
+    w: jnp.ndarray,
+    z_meas: jnp.ndarray,
+    w_z: jnp.ndarray,
+    baseline: float,
+    iters: int = 8,
+    huber: float = 3e-3,
+    damping: float = 1e-6,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Gauss-Newton SE(3) refinement with a stereo/RGB-D depth residual.
+
+    Beyond the 2D reprojection residuals, each point with a depth
+    measurement contributes the virtual-right-coordinate residual of
+    rectified stereo in normalized units (ORB-SLAM2's 3-DOF stereo edge):
+        r_z = b * (1/z_hat - 1/z_meas)
+    where b is the (virtual) baseline in meters, so r_z is the normalized
+    disparity error — directly commensurate with the reprojection residuals.
+    This pins translation along the optical axis and metric scale every
+    frame (reference stubs never use the second modality in tracking,
+    visual_slam/tracking.py:415-444).
+
+    Args:
+      z_meas: (N,) measured camera-frame depths. w_z: (N,) depth validity
+        weights (0/1). baseline: meters (stereo: the real baseline; RGB-D:
+        a virtual one).
+    """
+    inv_zm = 1.0 / jnp.maximum(z_meas, _EPS)
+
+    def step(carry, _):
+        R, t = carry
+        pc = pts3d @ R.T + t  # (N, 3)
+        x, y, z = pc[:, 0], pc[:, 1], pc[:, 2]
+        zs = jnp.where(jnp.abs(z) < _EPS, _EPS, z)
+        inv_z = 1.0 / zs
+        u = x * inv_z
+        v = y * inv_z
+        r = jnp.stack([u - xy[:, 0], v - xy[:, 1]], axis=-1)
+        Ju = jnp.stack(
+            [inv_z, jnp.zeros_like(u), -u * inv_z, -u * v, 1.0 + u * u, -v], axis=-1
+        )
+        Jv = jnp.stack(
+            [jnp.zeros_like(u), inv_z, -v * inv_z, -(1.0 + v * v), u * v, u], axis=-1
+        )
+        rn = jnp.linalg.norm(r, axis=-1)
+        hw = jnp.where(rn <= huber, 1.0, huber / jnp.maximum(rn, _EPS))
+        ww = w * hw * (z > _EPS)
+        J = jnp.stack([Ju, Jv], axis=1)  # (N, 2, 6)
+        JtJ = jnp.einsum("nif,n,nig->fg", J, ww, J)
+        Jtr = jnp.einsum("nif,n,ni->f", J, ww, r)
+
+        # Depth residual block. d(1/z)/d(rho) = [0,0,-1/z^2];
+        # d(1/z)/d(phi) = -1/z^2 * dz/dphi with dz/dphi = [y,-x,0]
+        # (left perturbation, dp/dxi = [I | -hat(p)]).
+        rz = baseline * (inv_z - inv_zm)
+        Jz = baseline * jnp.stack(
+            [
+                jnp.zeros_like(u),
+                jnp.zeros_like(u),
+                -inv_z * inv_z,
+                -v * inv_z,
+                u * inv_z,
+                jnp.zeros_like(u),
+            ],
+            axis=-1,
+        )  # (N, 6)
+        hz = jnp.where(jnp.abs(rz) <= huber, 1.0, huber / jnp.maximum(jnp.abs(rz), _EPS))
+        wz = w * w_z * hz * (z > _EPS)
+        JtJ = JtJ + jnp.einsum("nf,n,ng->fg", Jz, wz, Jz)
+        Jtr = Jtr + jnp.einsum("nf,n,n->f", Jz, wz, rz)
+
+        H = JtJ + damping * jnp.eye(6, dtype=R.dtype)
+        xi = -jnp.linalg.solve(H, Jtr)
+        dT = so3_exp(xi[3:])
+        return (dT @ R, dT @ t + xi[:3]), None
+
+    (R, t), _ = jax.lax.scan(step, (R0, t0), None, length=iters)
+    return R, t
+
+
+def _depth_err2(
+    R: jnp.ndarray, t: jnp.ndarray, pts3d: jnp.ndarray, z_meas: jnp.ndarray, baseline: float
+) -> jnp.ndarray:
+    """Squared normalized-disparity error of the depth measurements."""
+    z = pts3d @ R[2] + t[2]
+    zs = jnp.where(jnp.abs(z) < _EPS, _EPS, z)
+    rz = baseline * (1.0 / zs - 1.0 / jnp.maximum(z_meas, _EPS))
+    return jnp.where(z > _EPS, rz * rz, 1e6)
+
+
+@partial(jax.jit, static_argnames=("n_hyp", "refine_iters"))
+def ransac_pnp_depth(
+    pts3d: jnp.ndarray,
+    xy: jnp.ndarray,
+    mask: jnp.ndarray,
+    z_meas: jnp.ndarray,
+    z_valid: jnp.ndarray,
+    baseline: float,
+    key: jax.Array,
+    n_hyp: int = 256,
+    thresh: float = 6e-3,
+    refine_iters: int = 8,
+) -> dict:
+    """Fixed-budget RANSAC PnP with per-point depth measurements.
+
+    Hypotheses come from the same 6-point DLT as ``ransac_pnp``; local
+    optimization, scoring, and the final polish all include the
+    normalized-disparity depth residual, so the winning pose is consistent
+    with the second modality (stereo disparity / RGB-D depth) as well as
+    reprojection. Inlier classification stays reprojection-based for
+    comparability with the mono path.
+    """
+    from .epipolar import _sample_minimal_sets
+
+    idx = _sample_minimal_sets(key, mask, n_hyp, 6)
+
+    def fit(sample_idx):
+        w = jnp.ones(6, dtype=xy.dtype)
+        return pnp_dlt(pts3d[sample_idx], xy[sample_idx], w)
+
+    Rs, ts = jax.vmap(fit)(idx)
+    mask_f = mask.astype(xy.dtype)
+    zw = (z_valid & mask).astype(xy.dtype)
+
+    def local_opt(R, t):
+        return refine_pose_gn_depth(
+            R, t, pts3d, xy, mask_f, z_meas, zw, baseline, iters=2, huber=4.0 * thresh
+        )
+
+    Rs, ts = jax.vmap(local_opt)(Rs, ts)
+    errs = jax.vmap(lambda R, t: _reproj_err2(R, t, pts3d, xy))(Rs, ts)
+    errs_z = jax.vmap(lambda R, t: _depth_err2(R, t, pts3d, z_meas, baseline))(Rs, ts)
+    t2 = thresh * thresh
+    cost = jnp.where(mask[None, :], jnp.minimum(errs, t2), 0.0).sum(axis=-1)
+    cost = cost + jnp.where((z_valid & mask)[None, :], jnp.minimum(errs_z, t2), 0.0).sum(axis=-1)
+    best = jnp.argmin(cost)
+    R0, t0 = Rs[best], ts[best]
+    inl0 = (_reproj_err2(R0, t0, pts3d, xy) < t2) & mask
+    R, t = refine_pose_gn_depth(
+        R0, t0, pts3d, xy, inl0.astype(xy.dtype), z_meas, zw, baseline,
+        iters=refine_iters, huber=thresh,
+    )
+    inliers = (_reproj_err2(R, t, pts3d, xy) < t2) & mask
+    better = jnp.sum(inliers) >= jnp.sum(inl0)
+    R = jnp.where(better, R, R0)
+    t = jnp.where(better, t, t0)
+    inliers = jnp.where(better, inliers, inl0)
+    n_inl = jnp.sum(inliers)
+    return {
+        "R": R,
+        "t": t,
+        "T": make_T(R, t),
+        "inliers": inliers,
+        "n_inliers": n_inl,
+        "ok": n_inl >= 6,
+    }
+
+
 @partial(jax.jit, static_argnames=("n_hyp", "refine_iters"))
 def ransac_pnp(
     pts3d: jnp.ndarray,

@@ -176,9 +176,56 @@ class Tracking:
             images=images, images_gray=grays, features=feats,
             timestamp=timestamp, depth=depth,
         )
+        self._measure_depth(frame)
         self.map.add_frame(frame)
         self.current_frame = frame
         return frame
+
+    def _measure_depth(self, frame: Frame) -> None:
+        """Per-keypoint depth for the second modality (stereo right image /
+        RGB-D depth map), one batched dispatch — feeds the depth-aware PnP
+        residual and keyframe landmark creation (reference never uses the
+        second modality during tracking, visual_slam/tracking.py:415-444)."""
+        tcfg = self.config.tracking
+        sensor = self.config.camera.sensor_type
+        if not tcfg.use_depth_residual:
+            return
+        if sensor == "stereo" and frame.get_features(1) is not None:
+            from .ops.stereo import stereo_feature_depths
+
+            bf = float(getattr(self.camera, "bf", 0.0))
+            if bf <= 0:
+                return
+            fl, fr = frame.get_features(0), frame.get_features(1)
+            lcfg = self.config.local_mapping
+            res = stereo_feature_depths(
+                fl.xy, fl.desc, fl.valid, fr.xy, fr.desc, fr.valid,
+                bf, row_tolerance=tcfg.stereo_row_tolerance,
+                max_disparity=bf / max(lcfg.min_depth, 1e-6),
+            )
+            z = np.asarray(res["z"])
+            ok = np.asarray(res["valid"]) & (z > lcfg.min_depth) & (z < lcfg.max_depth)
+            frame.kp_z, frame.kp_z_valid = z, ok
+        elif sensor == "rgbd" and frame.depth is not None:
+            from .ops.stereo import sample_depth_at
+
+            feats = frame.get_features(0)
+            res = sample_depth_at(
+                jnp.asarray(frame.depth), feats.xy, depth_scale=tcfg.depth_scale
+            )
+            z = np.asarray(res["z"])
+            lcfg = self.config.local_mapping
+            ok = (
+                np.asarray(res["valid"]) & np.asarray(feats.valid)
+                & (z > lcfg.min_depth) & (z < lcfg.max_depth)
+            )
+            frame.kp_z, frame.kp_z_valid = z, ok
+
+    def _depth_baseline(self) -> float:
+        """Baseline (m) for the normalized-disparity residual."""
+        if self.config.camera.sensor_type == "stereo":
+            return float(getattr(self.camera, "baseline", 0.0))
+        return float(self.config.tracking.rgbd_virtual_baseline)
 
     def _predict_pose(self, frame: Frame) -> None:
         """Constant-velocity prediction (reference tracking.py:446-451)."""
@@ -286,14 +333,39 @@ class Tracking:
         Kinv = jnp.asarray(self.camera.Kinv, jnp.float32)
         xy_norm = normalize_points(Kinv, jnp.asarray(xy_obs, jnp.float32))
         self._key, sub = jax.random.split(self._key)
-        res = ransac_pnp(
-            jnp.asarray(pts3d, jnp.float32),
-            xy_norm,
-            jnp.asarray(pair_valid),
-            sub,
-            n_hyp=tcfg.pnp_hypotheses,
-            thresh=tcfg.pnp_threshold_px / focal,
+        # Depth-aware solve when the frame carries per-keypoint depth
+        # (stereo/RGB-D): the normalized-disparity residual constrains pose
+        # every frame. Requires keypoint-slot-aligned candidates (guided /
+        # local-map paths, which both index by keypoint slot).
+        kp_z = getattr(frame, "kp_z", None)
+        use_depth = (
+            kp_z is not None
+            and len(kp_z) == len(xy_obs)
+            and self._depth_baseline() > 0
         )
+        if use_depth:
+            from .ops.pnp import ransac_pnp_depth
+
+            res = ransac_pnp_depth(
+                jnp.asarray(pts3d, jnp.float32),
+                xy_norm,
+                jnp.asarray(pair_valid),
+                jnp.asarray(kp_z, jnp.float32),
+                jnp.asarray(frame.kp_z_valid),
+                self._depth_baseline(),
+                sub,
+                n_hyp=tcfg.pnp_hypotheses,
+                thresh=tcfg.pnp_threshold_px / focal,
+            )
+        else:
+            res = ransac_pnp(
+                jnp.asarray(pts3d, jnp.float32),
+                xy_norm,
+                jnp.asarray(pair_valid),
+                sub,
+                n_hyp=tcfg.pnp_hypotheses,
+                thresh=tcfg.pnp_threshold_px / focal,
+            )
         ok = bool(res["ok"])
         n_inl = int(res["n_inliers"])
         n_pairs = max(int(pair_valid.sum()), 1)
@@ -301,15 +373,24 @@ class Tracking:
             # Motion-model fallback: robust GN from the predicted pose — the
             # RANSAC hypothesis batch can miss when candidates are scarce but
             # the prior is strong (constant-velocity).
-            from .ops.pnp import refine_pose_gn, _reproj_err2
+            from .ops.pnp import refine_pose_gn, refine_pose_gn_depth, _reproj_err2
 
             R0 = jnp.asarray(frame.R_w2c, jnp.float32)
             t0 = jnp.asarray(frame.t_w2c, jnp.float32)
             thresh = tcfg.pnp_threshold_px / focal
-            R1, t1 = refine_pose_gn(
-                R0, t0, jnp.asarray(pts3d, jnp.float32), xy_norm,
-                jnp.asarray(pair_valid, jnp.float32), iters=10, huber=thresh,
-            )
+            if use_depth:
+                R1, t1 = refine_pose_gn_depth(
+                    R0, t0, jnp.asarray(pts3d, jnp.float32), xy_norm,
+                    jnp.asarray(pair_valid, jnp.float32),
+                    jnp.asarray(kp_z, jnp.float32),
+                    jnp.asarray(frame.kp_z_valid, jnp.float32),
+                    self._depth_baseline(), iters=10, huber=thresh,
+                )
+            else:
+                R1, t1 = refine_pose_gn(
+                    R0, t0, jnp.asarray(pts3d, jnp.float32), xy_norm,
+                    jnp.asarray(pair_valid, jnp.float32), iters=10, huber=thresh,
+                )
             errs = _reproj_err2(R1, t1, jnp.asarray(pts3d, jnp.float32), xy_norm)
             inl2 = np.asarray((errs < thresh * thresh)) & pair_valid
             if int(inl2.sum()) > n_inl:
