@@ -39,3 +39,33 @@ def test_pallas_match_self_identity(rng):
     assert np.asarray(ok).all()
     np.testing.assert_array_equal(np.asarray(ti), np.arange(k))
     np.testing.assert_array_equal(np.asarray(dist), 0)
+
+
+def test_pallas_batched_equals_xla_map(rng):
+    """Batched candidate matching (loop detection shape) must agree with the
+    per-candidate XLA path."""
+    from visual_slam_tpu.ops.orb import unpack_bits
+    from visual_slam_tpu.ops.pallas_kernels import hamming_top2_batched, BIG
+
+    k1, k2, C = 192, 160, 3
+    d1 = _packed(rng, k1)
+    v1 = jnp.asarray(rng.random(k1) > 0.1)
+    b1 = unpack_bits(d1)
+    pop1 = jnp.sum(b1.astype(jnp.float32), -1)
+    d2s = [_packed(rng, k2) for _ in range(C)]
+    v2s = [jnp.asarray(rng.random(k2) > 0.1) for _ in range(C)]
+    b2 = jnp.stack([unpack_bits(d) for d in d2s])
+    pop2 = jnp.sum(b2.astype(jnp.float32), -1)
+    best, second, bidx, colarg = hamming_top2_batched(
+        b1, pop1, v1, b2, pop2, jnp.stack(v2s), interpret=True
+    )
+    for c in range(C):
+        dist = m_ops.hamming_distance_matrix(d1, d2s[c], v1, v2s[c])
+        ref_best = np.asarray(jnp.min(dist, axis=1))
+        ref_arg = np.asarray(jnp.argmin(dist, axis=1))
+        ok = ref_best < BIG * 0.5
+        np.testing.assert_allclose(np.asarray(best[c])[ok], ref_best[ok])
+        np.testing.assert_array_equal(np.asarray(bidx[c])[ok], ref_arg[ok])
+        ref_colarg = np.asarray(jnp.argmin(dist, axis=0))
+        col_ok = np.asarray(jnp.min(dist, axis=0)) < BIG * 0.5
+        np.testing.assert_array_equal(np.asarray(colarg[c])[col_ok], ref_colarg[col_ok])

@@ -16,6 +16,7 @@ All matchers return a fixed-shape match table aligned to the query side:
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -24,6 +25,20 @@ import jax.numpy as jnp
 from .orb import unpack_bits
 
 BIG = 1e9
+
+
+def _use_pallas() -> bool:
+    """Route matching through the fused Pallas kernel on TPU (measured on
+    v5e: 2.6x at the 2048x2048 tracking shape, 7.6x at the 2048x4096 guided
+    arena, 9.2x at the batched loop-detection shape — scripts/bench_matcher
+    .py). The XLA matmul path stays the reference/CPU implementation.
+    Set VSLAM_NO_PALLAS=1 to disable."""
+    if os.environ.get("VSLAM_NO_PALLAS"):
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover - backend init failure
+        return False
 
 
 def hamming_distance_matrix(
@@ -171,9 +186,19 @@ def match_descriptors(
     max_distance: float = 0.0,
 ) -> dict:
     """Distance matrix -> NN match -> unique-train -> optional orientation
-    filter. The fused jitted matcher used by the tracker."""
-    dist = hamming_distance_matrix(desc1, desc2, valid1, valid2)
-    ti, d, ok = match_nn(dist, ratio=ratio, cross_check=cross_check, max_distance=max_distance)
+    filter. The fused jitted matcher used by the tracker. On TPU the
+    distance+top2+cross-check stage runs in the fused Pallas kernel
+    (ops/pallas_kernels.py) — no KxK HBM materialization."""
+    if _use_pallas():
+        from .pallas_kernels import match_nn_pallas
+
+        ti, d, ok = match_nn_pallas(
+            desc1, desc2, valid1, valid2,
+            ratio=ratio, cross_check=cross_check, max_distance=max_distance,
+        )
+    else:
+        dist = hamming_distance_matrix(desc1, desc2, valid1, valid2)
+        ti, d, ok = match_nn(dist, ratio=ratio, cross_check=cross_check, max_distance=max_distance)
     ok = unique_train(ti, d, ok, desc2.shape[0])
     if use_orientation and angle1 is not None:
         ok = orientation_filter(angle1, angle2, ti, ok, n_bins=n_bins, keep_bins=keep_bins)
@@ -202,7 +227,36 @@ def match_descriptors_batched(
 
     Shapes: desc_c (C, K, B), valid_c (C, K), angle_c (C, K); returns stacked
     dict with train_idx/distance/valid (C, K) and n_matches (C,).
+
+    On TPU the whole candidate batch runs in ONE fused Pallas kernel
+    (measured 9.2x over the lax.map XLA path at C=8, K=2048).
     """
+    if _use_pallas():
+        from .pallas_kernels import hamming_top2_batched
+
+        C, K2 = desc_c.shape[:2]
+        K1 = desc_q.shape[0]
+        b1 = unpack_bits(desc_q)
+        b2 = jax.vmap(unpack_bits)(desc_c)
+        p1 = jnp.sum(b1.astype(jnp.float32), -1)
+        p2 = jnp.sum(b2.astype(jnp.float32), -1)
+        best, second, ti, colarg = hamming_top2_batched(b1, p1, valid_q, b2, p2, valid_c)
+        ok = best < BIG * 0.5
+        if ratio > 0:
+            ok &= best < ratio * second
+        if cross_check:
+            ok &= jnp.take_along_axis(colarg, ti, axis=1) == jnp.arange(K1)[None]
+        ok = jax.vmap(lambda t, d, o: unique_train(t, d, o, K2))(ti, best, ok)
+        if use_orientation:
+            ok = jax.vmap(
+                lambda a_c, t, o: orientation_filter(angle_q, a_c, t, o, keep_bins=3)
+            )(angle_c, ti, ok)
+        return {
+            "train_idx": ti,
+            "distance": best,
+            "valid": ok,
+            "n_matches": jnp.sum(ok, axis=1),
+        }
 
     def one(cand):
         d, v, a = cand
