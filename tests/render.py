@@ -102,6 +102,43 @@ def camera_path(n_frames, step=0.25, yaw_rate=0.004):
     return np.stack(Ts)
 
 
+def loop_path(n_frames, step=0.25, closes=1.05):
+    """Closed circular trajectory: constant forward step with yaw rate
+    2*pi*closes/n_frames, so after n_frames the camera has turned through
+    ``closes`` full circles and revisits its start viewpoint. Returns
+    (n, 4, 4) T_w2c. Circle radius ~= step / yaw_rate, center ~(-radius,0,0)."""
+    yaw_rate = 2 * np.pi * closes / n_frames
+    Ts = []
+    C = np.zeros(3)
+    yaw = 0.0
+    for _ in range(n_frames):
+        c, s = np.cos(yaw), np.sin(yaw)
+        R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+        T = np.eye(4)
+        T[:3, :3] = R
+        T[:3, 3] = -R @ C
+        Ts.append(T)
+        C = C + step * np.array([-s, 0, c])  # camera forward in world
+        yaw += yaw_rate
+    return np.stack(Ts)
+
+
+def make_ring_world(rng, center, r_inner, r_outer, n_sprites=420, y_range=(-4, 4)):
+    """Sprites on an annular wall around ``center`` — the world for a
+    circular (loopy) trajectory: the camera always faces textured structure
+    and the start view recurs at loop closure."""
+    th = rng.uniform(0, 2 * np.pi, n_sprites)
+    r = rng.uniform(r_inner, r_outer, n_sprites)
+    pts = np.stack([
+        center[0] + r * np.cos(th),
+        rng.uniform(*y_range, n_sprites),
+        center[2] + r * np.sin(th),
+    ], 1)
+    sizes = rng.uniform(0.12, 0.35, n_sprites)
+    intensities = rng.uniform(30, 255, n_sprites)
+    return {"pts": pts, "sizes": sizes, "intensities": intensities}
+
+
 def render_sequence(rng, n_frames=12, width=320, height=240, f=260.0, step=0.25):
     K = np.array([[f, 0, width / 2], [0, f, height / 2], [0, 0, 1.0]])
     world = make_world(rng)

@@ -81,3 +81,35 @@ def test_guided_local_map_extends_tracking():
     assert sum(inl_guided) > sum(inl_brute), (inl_guided, inl_brute)
     assert len(inl_guided) > len(inl_brute)
     assert lost_guided <= lost_brute
+
+
+def test_compiled_slam_stereo():
+    """CompiledSLAM stereo deployment: (2,H,W) pair per dispatch, in-step
+    depth, depth-aware PnP, metric landmarks at keyframes."""
+    import numpy as np
+    from render import camera_path, make_world, stereo_pair
+    from visual_slam_tpu.utils.metrics import ate_rmse
+
+    rng = np.random.default_rng(6)
+    world = make_world(rng)
+    Ts = camera_path(10, step=0.3)
+    f, W, H, BL = 260.0, 320, 240, 0.5
+    K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1.0]])
+    cfg = small_config()
+    cfg.camera.sensor_type = "stereo"
+    cfg.initialization.min_inliers = 30
+    cam = PinholeCamera(width=W, height=H, K=K, baseline=BL)
+    slam = CompiledSLAM(cam, cfg)
+    assert slam._stereo
+    for i, T in enumerate(Ts):
+        left, right = stereo_pair(world, T, K, BL, W, H)
+        slam.track([left, right], timestamp=i * 0.1)
+    slam.shutdown()
+    assert slam.state.name == "OK"
+    ts, Tw = slam.trajectory()
+    idx = [int(round(t / 0.1)) for t in ts]
+    est = np.stack([-T[:3, :3].T @ T[:3, 3] for T in Tw])
+    gt = np.stack([-Ts[i][:3, :3].T @ Ts[i][:3, 3] for i in idx])
+    res = ate_rmse(est, gt, align_scale=False)  # metric: no alignment
+    assert res["rmse"] < 0.35, res
+    assert slam.map.num_map_points() > 50

@@ -175,3 +175,44 @@ def test_match_shifted_frames(rng):
     disp = np.asarray(f2.xy)[ti[ok]] - np.asarray(f1.xy)[ok]
     med = np.median(disp, axis=0)
     np.testing.assert_allclose(med, [dx, dy], atol=1.0)
+
+
+def test_shi_tomasi_finds_square_corners():
+    """Min-eigenvalue response peaks at true 2D corners, not along edges."""
+    img = np.full((96, 128), 100.0, np.float32)
+    img[30:60, 40:80] = 220.0  # one bright square
+    scores = np.asarray(fast_ops.shi_tomasi_scores(jnp.asarray(img), quality_level=0.2))
+    peaks = np.argwhere(fast_ops.nms(jnp.asarray(scores)) > 0)
+    assert len(peaks) >= 4
+    corners = np.array([[30, 40], [30, 79], [59, 40], [59, 79]])
+    for c in corners:
+        d = np.linalg.norm(peaks - c, axis=1).min()
+        assert d <= 3.0, (c, d)
+    # edge midpoints must NOT fire (Shi-Tomasi rejects 1D structure)
+    for e in [[30, 60], [59, 60], [45, 40], [45, 79]]:
+        d = np.linalg.norm(peaks - np.array(e), axis=1).min()
+        assert d > 4.0, e
+
+
+def test_shi_tomasi_detector_matches_across_views(rng):
+    """ShiTomasiOrbFeature2D end to end: detect + describe + match recovers
+    image translation (same harness as the FAST variant)."""
+    from visual_slam_tpu.frontend.features import ShiTomasiOrbFeature2D
+
+    img = textured_image(rng, h=128, w=160)
+    dy, dx = 4, 6
+    img2 = np.roll(np.roll(img, dy, axis=0), dx, axis=1)
+    det = ShiTomasiOrbFeature2D(num_features=128, fast_threshold=20.0, n_levels=1, grid=4)
+    assert det.fast_threshold == 0.01  # FAST-unit configs map to cv2 quality
+    f1 = det.detectAndCompute(img)
+    f2 = det.detectAndCompute(img2)
+    assert int(f1.valid.sum()) > 60
+    res = match_ops.match_descriptors(
+        f1.desc, f2.desc, f1.valid, f2.valid, f1.angle, f2.angle,
+        ratio=0.8, cross_check=True,
+    )
+    ok = np.asarray(res["valid"])
+    ti = np.asarray(res["train_idx"])
+    assert ok.sum() > 20
+    disp = np.asarray(f2.xy)[ti[ok]] - np.asarray(f1.xy)[ok]
+    np.testing.assert_allclose(np.median(disp, axis=0), [dx, dy], atol=1.0)

@@ -58,3 +58,52 @@ def test_batched_vo_step_shards(rng):
     new_states, outs = step(states, imgs)
     assert outs.T_w2c.shape == (B, 4, 4)
     assert np.isfinite(np.asarray(outs.T_w2c)).all()
+
+
+def test_frontback_pipeline_two_stage():
+    """Pipeline-parallel front-end/back-end split (parallel/frontback.py):
+    stage 0 detects+matches frame t while stage 1 solves frame t-1, one
+    ppermute per frame, whole loop in ONE shard_map program."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from render import make_world, render, camera_path, render_with_depth
+    from visual_slam_tpu.ops.detector import detect_and_describe
+    from visual_slam_tpu.ops.orb import sampling_matrix
+    from visual_slam_tpu.parallel import make_frontback_pipeline
+
+    mesh = Mesh(np.array(jax.devices()[:2]), ("pp",))
+    rng = np.random.default_rng(3)
+    world = make_world(rng)
+    Ts = camera_path(4, step=0.15)
+    f, W, H = 260.0, 320, 240
+    K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1.0]], np.float32)
+    frames = np.stack([render(world, T, K, W, H) for T in Ts]).astype(np.float32)
+    NF = 256
+    feats0 = detect_and_describe(
+        jnp.asarray(frames[0]), num_features=NF, threshold=12.0, n_levels=2, grid=4
+    )
+    _, zbuf = render_with_depth(world, Ts[0], K, W, H)
+    Kinv = np.linalg.inv(K)
+    xy = np.asarray(feats0.xy)
+    valid = np.asarray(feats0.valid)
+    lm = np.zeros((NF, 3), np.float32)
+    has = np.zeros(NF, bool)
+    for i in np.nonzero(valid)[0]:
+        ui, vi = int(round(xy[i, 0])), int(round(xy[i, 1]))
+        if 0 <= ui < W and 0 <= vi < H and zbuf[vi, ui] > 0.5:
+            lm[i] = (Kinv @ np.array([xy[i, 0], xy[i, 1], 1.0])) * float(zbuf[vi, ui])
+            has[i] = True
+    pipe = make_frontback_pipeline(
+        jnp.asarray(K), mesh, num_features=NF, fast_threshold=12.0, n_levels=2, grid=4
+    )
+    Tout, ninl = pipe(jnp.asarray(frames), feats0, lm, has, np.eye(4), sampling_matrix())
+    Tout, ninl = np.asarray(Tout), np.asarray(ninl)
+    assert ninl[0] == 0  # pipeline bubble
+    # row t = back-end solve of frame t-1 against the frame-0 reference
+    for t in range(1, len(frames)):
+        assert ninl[t] >= 15, ninl
+        terr = np.linalg.norm(Tout[t][:3, 3] - Ts[t - 1][:3, 3])
+        assert terr < 0.1, (t, terr)

@@ -88,3 +88,60 @@ def test_track_state_checkpoint(setup, tmp_path):
     _, o2 = step(s2, jnp.asarray(frames[2]))
     np.testing.assert_allclose(np.asarray(o1.T_w2c), np.asarray(o2.T_w2c), atol=1e-6)
     assert int(o1.n_inliers) == int(o2.n_inliers)
+
+
+def test_stereo_track_step():
+    """Fused stereo step: detect both cameras + row-gated depth + depth-aware
+    PnP in ONE program (VERDICT r1 #5 'fused step has a stereo variant')."""
+    from render import stereo_pair
+
+    rng = np.random.default_rng(4)
+    world = make_world(rng)
+    Ts = camera_path(4, step=0.3)
+    f = 260.0
+    W, H = 320, 240
+    BL = 0.4
+    K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1.0]], np.float32)
+    l0, r0 = stereo_pair(world, Ts[0], K, BL, W, H)
+    NF = 256
+    feats0 = detect_and_describe(
+        jnp.asarray(l0), num_features=NF, threshold=12.0, n_levels=2, grid=4
+    )
+    xy = np.asarray(feats0.xy)
+    valid = np.asarray(feats0.valid)
+    _, zbuf = render_with_depth(world, Ts[0], K, W, H)
+    Kinv = np.linalg.inv(K)
+    lm = np.zeros((NF, 3), np.float32)
+    has = np.zeros(NF, bool)
+    for i in np.nonzero(valid)[0]:
+        ui, vi = int(round(xy[i, 0])), int(round(xy[i, 1]))
+        if 0 <= ui < W and 0 <= vi < H and zbuf[vi, ui] > 0.5:
+            lm[i] = (Kinv @ np.array([xy[i, 0], xy[i, 1], 1.0])) * float(zbuf[vi, ui])
+            has[i] = True
+    state = init_track_state(feats0, lm, has, np.eye(4))
+    step = make_track_step(
+        jnp.asarray(K), num_features=NF, fast_threshold=12.0, n_levels=2, grid=4,
+        pnp_hypotheses=64, stereo=True, baseline=BL,
+    )
+    for i, T in enumerate(Ts[1:], 1):
+        left, right = stereo_pair(world, T, K, BL, W, H)
+        pair = jnp.stack([jnp.asarray(left), jnp.asarray(right)])
+        state, out = step(state, pair)
+        assert int(out.n_inliers) >= 15, (i, int(out.n_inliers))
+        # stereo depth was actually measured
+        assert int(out.kp_z_valid.sum()) >= 30
+        # pose error against GT (metric — no scale gauge in stereo)
+        t_err = np.linalg.norm(np.asarray(out.T_w2c)[:3, 3] - T[:3, 3])
+        assert t_err < 0.12, (i, t_err)
+    # measured depths agree with the z-buffer at the keypoints
+    _, zb = render_with_depth(world, Ts[-1], K, W, H)
+    kz = np.asarray(out.kp_z)
+    kv = np.asarray(out.kp_z_valid)
+    fx = np.asarray(out.features.xy)
+    errs = []
+    for i in np.nonzero(kv)[0]:
+        ui, vi = int(round(fx[i, 0])), int(round(fx[i, 1]))
+        if 0 <= ui < W and 0 <= vi < H and zb[vi, ui] > 0.5:
+            errs.append(abs(kz[i] - zb[vi, ui]) / zb[vi, ui])
+    assert len(errs) >= 20
+    assert np.median(errs) < 0.05, np.median(errs)

@@ -84,3 +84,55 @@ def test_rgbd_initializes_and_tracks():
     res = ate_rmse(est, gt, align_scale=True)
     assert 0.8 < res["scale"] < 1.25  # metric scale from depth
     assert res["rmse"] < 0.3, res
+
+
+def test_stereo_fused_pipeline_e2e():
+    """Stereo through the fused single-dispatch path: detect-both + in-step
+    depth + depth-aware PnP, metric scale preserved."""
+    rng = np.random.default_rng(5)
+    world = make_world(rng)
+    Ts = camera_path(10, step=0.3)
+    f, W, H = 260.0, 320, 240
+    K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1.0]])
+    cfg = small_config()
+    cfg.camera.sensor_type = "stereo"
+    cfg.initialization.min_inliers = 30
+    cfg.tracking.fused_pipeline = True
+    cam = PinholeCamera(width=W, height=H, K=K, baseline=BASELINE)
+    slam = SLAM(cam, cfg)
+    for i, T in enumerate(Ts):
+        left, right = stereo_pair(world, T, K, BASELINE, W, H)
+        slam.track([left, right], timestamp=i * 0.1)
+    assert slam.state == State.OK
+    kfs = slam.map.get_keyframes()
+    est = trajectory_from_keyframes(kfs)
+    idx = [int(round(kf.timestamp / 0.1)) for kf in kfs]
+    gt = np.stack([-Ts[i][:3, :3].T @ Ts[i][:3, 3] for i in idx])
+    res = ate_rmse(est, gt, align_scale=False)  # metric: no alignment
+    assert res["rmse"] < 0.3, res
+
+
+def test_rgbd_fused_pipeline_e2e():
+    """RGB-D through the fused single-dispatch path: in-step depth lookup +
+    depth-aware PnP with the virtual baseline."""
+    rng = np.random.default_rng(9)
+    world = make_world(rng)
+    Ts = camera_path(8, step=0.3)
+    f, W, H = 260.0, 320, 240
+    K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1.0]])
+    cfg = small_config()
+    cfg.camera.sensor_type = "rgbd"
+    cfg.initialization.min_inliers = 30
+    cfg.tracking.fused_pipeline = True
+    cam = PinholeCamera(width=W, height=H, K=K)
+    slam = SLAM(cam, cfg)
+    for i, T in enumerate(Ts):
+        img, depth = render_with_depth(world, T, K, W, H)
+        slam.track([img], timestamp=i * 0.1, depth=depth)
+    assert slam.state == State.OK
+    kfs = slam.map.get_keyframes()
+    est = trajectory_from_keyframes(kfs)
+    idx = [int(round(kf.timestamp / 0.1)) for kf in kfs]
+    gt = np.stack([-Ts[i][:3, :3].T @ Ts[i][:3, 3] for i in idx])
+    res = ate_rmse(est, gt, align_scale=False)  # metric from depth
+    assert res["rmse"] < 0.3, res

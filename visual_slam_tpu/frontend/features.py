@@ -50,6 +50,8 @@ class FastOrbFeature2D(BaseFeature2D):
         self.scale_factor = float(scale_factor)
         self.grid = int(grid)
 
+    score = "fast"
+
     def detectAndCompute(self, image: np.ndarray) -> Features:
         img = jnp.asarray(np.ascontiguousarray(image), jnp.float32)
         return detect_and_describe(
@@ -59,12 +61,23 @@ class FastOrbFeature2D(BaseFeature2D):
             n_levels=self.n_levels,
             scale=self.scale_factor,
             grid=self.grid,
+            score=self.score,
         )
 
 
 class ShiTomasiOrbFeature2D(FastOrbFeature2D):
-    """Placeholder subclass reserved for a Shi-Tomasi scoring variant; the
-    FAST SAD score is used until the Harris/Shi-Tomasi Pallas kernel lands."""
+    """Shi-Tomasi (min-eigenvalue) scoring + rBRIEF description, fully
+    on-device (ops/fast.py::shi_tomasi_scores; the reference's
+    SHI_TOMASI_ORB factory entry delegates to cv2.goodFeaturesToTrack).
+    ``fast_threshold`` is reinterpreted as the cv2-style relative quality
+    level; values > 1 (FAST units from shared configs) map to 0.01."""
+
+    score = "shi_tomasi"
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        if self.fast_threshold > 1.0:
+            self.fast_threshold = 0.01
 
 
 class SIFTFeature2D(BaseFeature2D):

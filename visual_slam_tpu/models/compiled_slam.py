@@ -65,6 +65,14 @@ class CompiledSLAM:
         self.optimizer = LMOptimizer(self.config, camera, logger=self.logger)
         self.state = State.NO_IMAGES_YET
         self._arena_size = int(tcfg.local_map_size)
+        # Rectified-stereo deployment: the step takes a (2, H, W) pair,
+        # measures per-keypoint depth in-program, and solves depth-aware PnP
+        # (pipeline.make_track_step stereo variant).
+        self._stereo = (
+            self.config.camera.sensor_type == "stereo"
+            and tcfg.use_depth_residual
+            and float(getattr(camera, "baseline", 0.0)) > 0
+        )
         self._step = make_track_step(
             jnp.asarray(camera.K, jnp.float32),
             num_features=fcfg.num_features,
@@ -80,6 +88,10 @@ class CompiledSLAM:
             height=camera.height,
             guided_radius_px=tcfg.guided_radius_px,
             guided_ratio=tcfg.guided_ratio,
+            stereo=self._stereo,
+            baseline=float(getattr(camera, "baseline", 0.0)),
+            stereo_row_tolerance=tcfg.stereo_row_tolerance,
+            min_depth=self.config.local_mapping.min_depth,
         )
         self._track_state = None
         self._frames_since_kf = 0
@@ -101,12 +113,19 @@ class CompiledSLAM:
 
     # ------------------------------------------------------------------ API
     def track(self, images, timestamp: float, depth=None) -> dict:
-        img = images[0] if isinstance(images, (list, tuple)) else images
+        imgs = list(images) if isinstance(images, (list, tuple)) else [images]
         if self.state == State.LOST:
-            return self._relocalize(img, timestamp)
+            return self._relocalize(imgs, timestamp)
         if self.state != State.OK:
-            return self._bootstrap(img, timestamp, depth)
-        return self._track_compiled(img, timestamp)
+            return self._bootstrap(imgs, timestamp, depth)
+        return self._track_compiled(imgs, timestamp)
+
+    def _img_arg(self, imgs):
+        if self._stereo and len(imgs) > 1:
+            return jnp.stack(
+                [jnp.asarray(imgs[0], jnp.float32), jnp.asarray(imgs[1], jnp.float32)]
+            )
+        return jnp.asarray(imgs[0], jnp.float32)
 
     def flush(self) -> dict:
         """Apply the deferred decision for the last submitted frame (call at
@@ -143,16 +162,16 @@ class CompiledSLAM:
         }
 
     # ----------------------------------------------------------- bootstrap
-    def _bootstrap(self, img, timestamp, depth) -> dict:
+    def _bootstrap(self, imgs, timestamp, depth) -> dict:
         self.state = State.INITIALIZING
-        if self._initializer.initialize([img], timestamp, depth):
+        if self._initializer.initialize(imgs, timestamp, depth):
             self.state = State.OK
             kf = self.map.get_last_keyframe()
             self._install_reference(kf, T_init=kf.T_w2c)
             self.poses.append((timestamp, jnp.asarray(kf.T_w2c, jnp.float32)))
         return {"state": self.state.name}
 
-    def _relocalize(self, img, timestamp) -> dict:
+    def _relocalize(self, imgs, timestamp) -> dict:
         """LOST recovery: retry the compiled step against each recent
         keyframe's reference block (the step IS a PnP relocalization when
         given a candidate reference). On failure the pre-attempt reference is
@@ -162,16 +181,18 @@ class CompiledSLAM:
         orig_state = self._track_state
         for kf in reversed(self.map.get_keyframes()[-5:]):
             self._install_reference(kf, T_init=kf.T_w2c)
-            self._track_state, out = self._step(
-                self._track_state, jnp.asarray(img, jnp.float32)
-            )
+            self._track_state, out = self._step(self._track_state, self._img_arg(imgs))
             n_inl = int(out.n_inliers)
             if n_inl >= tcfg.min_inliers:
                 self.state = State.OK
                 T = np.asarray(out.T_w2c, np.float64)
                 self.poses.append((timestamp, out.T_w2c))
-                self._frames_since_kf = 0
                 self._pending = None
+                # Extend the map immediately: the relocalized frame becomes a
+                # keyframe so subsequent frames track fresh geometry instead
+                # of the stale pre-loss blocks (same fix as the host path —
+                # without it tracking re-dies as the camera moves on).
+                self._promote_keyframe(out, timestamp, kf, self._lm_arena)
                 self.logger.info("relocalized against KF %d (%d inliers)",
                                  kf.keyframe_id, n_inl)
                 return {"state": self.state.name, "relocalized": True,
@@ -221,10 +242,8 @@ class CompiledSLAM:
         self._track_state = set_local_map(self._track_state, pos, desc, valid)
 
     # ------------------------------------------------------- steady state
-    def _track_compiled(self, img, timestamp) -> dict:
-        self._track_state, out = self._step(
-            self._track_state, jnp.asarray(img, jnp.float32)
-        )
+    def _track_compiled(self, imgs, timestamp) -> dict:
+        self._track_state, out = self._step(self._track_state, self._img_arg(imgs))
         self.poses.append((timestamp, out.T_w2c))
         self._frames_since_kf += 1
         info = {"state": self.state.name}
@@ -317,6 +336,11 @@ class CompiledSLAM:
         tri_mask = m_ok & ~ref_mask[ti] & ~inherited
         self._triangulate(kf, ref, ti, tri_mask, out)
 
+        # Stereo: metric landmarks for every depth-measured keypoint still
+        # without one (no parallax wait — disparity gives depth directly).
+        if self._stereo and out.kp_z is not None:
+            self._create_stereo_points(kf, out)
+
         self.map.add_keyframe(kf)
         self._frames_since_kf = 0
 
@@ -334,6 +358,28 @@ class CompiledSLAM:
         else:
             T_new = T
         self._install_reference(kf, T_init=T_new)
+
+    def _create_stereo_points(self, kf: KeyFrame, out) -> int:
+        lcfg = self.config.local_mapping
+        z = np.asarray(out.kp_z)
+        ok = (
+            np.asarray(out.kp_z_valid)
+            & np.asarray(out.features.valid)
+            & (z > lcfg.min_depth) & (z < lcfg.max_depth)
+        )
+        kf.kp_z, kf.kp_z_valid = z, ok
+        xy = np.asarray(out.features.xy)
+        desc = np.asarray(out.features.desc)
+        rays = np.concatenate([xy, np.ones((len(xy), 1))], 1) @ self.camera.Kinv.T
+        p_w = (rays * z[:, None]) @ kf.R_c2w.T + kf.t_c2w
+        created = 0
+        for i in np.nonzero(ok)[0]:
+            if kf.get_map_point(0, int(i)) is None:
+                mp = MapPoint(p_w[i], descriptor=desc[i])
+                kf.add_map_point(0, int(i), mp)
+                self.map.add_map_point(mp)
+                created += 1
+        return created
 
     def _triangulate(self, kf: KeyFrame, ref: KeyFrame, ti, tri_mask, out) -> int:
         lcfg = self.config.local_mapping

@@ -50,7 +50,7 @@ def level_quotas(num_features: int, n_levels: int, scale: float) -> list[int]:
 
 @partial(
     jax.jit,
-    static_argnames=("num_features", "n_levels", "scale", "grid", "edge_margin"),
+    static_argnames=("num_features", "n_levels", "scale", "grid", "edge_margin", "score"),
 )
 def detect_and_describe_with_sampling(
     img: jnp.ndarray,
@@ -61,6 +61,7 @@ def detect_and_describe_with_sampling(
     scale: float = 1.2,
     grid: int = 8,
     edge_margin: int = 16,
+    score: str = "fast",
 ) -> Features:
     """Full ORB front-end on one grayscale image (H, W) float32 in [0, 255].
 
@@ -80,7 +81,11 @@ def detect_and_describe_with_sampling(
     outs = []
     for l, (lvl, k_l) in enumerate(zip(levels, quotas)):
         Hl, Wl = lvl.shape
-        scores = fast_ops.fast_scores(lvl, threshold)
+        if score == "shi_tomasi":
+            # ``threshold`` is the cv2-style relative quality level here.
+            scores = fast_ops.shi_tomasi_scores(lvl, quality_level=threshold)
+        else:
+            scores = fast_ops.fast_scores(lvl, threshold)
         scores = fast_ops.nms(scores)
         # Patch-safety margin: descriptors need a full 31x31 window.
         ys = jax.lax.broadcasted_iota(jnp.int32, (Hl, Wl), 0)
@@ -133,6 +138,7 @@ def detect_and_describe(
     scale: float = 1.2,
     grid: int = 8,
     edge_margin: int = 16,
+    score: str = "fast",
 ) -> Features:
     """Host-callable wrapper: injects the device-resident sampling matrix as
     a traced argument. From inside jit/vmap use
@@ -146,4 +152,5 @@ def detect_and_describe(
         scale=scale,
         grid=grid,
         edge_margin=edge_margin,
+        score=score,
     )

@@ -89,6 +89,51 @@ def fast_scores(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
     return jnp.where(interior, score, 0.0)
 
 
+@partial(jax.jit, static_argnames=("window",))
+def shi_tomasi_scores(
+    img: jnp.ndarray, quality_level: float = 0.01, window: int = 5
+) -> jnp.ndarray:
+    """Shi-Tomasi (min-eigenvalue) corner response map.
+
+    TPU-native goodFeaturesToTrack scoring (reference delegates to cv2 via
+    the ShiTomasiOrbFeature2D factory entry, visual_slam/feature/feature.py):
+    Sobel gradients -> windowed structure tensor -> smaller eigenvalue
+      lambda_min = (Sxx+Syy)/2 - sqrt(((Sxx-Syy)/2)^2 + Sxy^2),
+    thresholded at ``quality_level`` x (map max), cv2 semantics.
+
+    Returns (H, W) float32 scores (0 below threshold / at borders).
+    """
+    H, W = img.shape
+    im = img[None, :, :, None]  # NHWC
+    sob_x = jnp.asarray([[-1.0, 0.0, 1.0], [-2.0, 0.0, 2.0], [-1.0, 0.0, 1.0]])
+    sob_y = sob_x.T
+    k = jnp.stack([sob_x, sob_y], axis=-1)[:, :, None, :]  # HWIO (3,3,1,2)
+    g = jax.lax.conv_general_dilated(
+        im, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )[0]
+    gx, gy = g[..., 0], g[..., 1]
+    prods = jnp.stack([gx * gx, gy * gy, gx * gy], axis=-1)[None]
+    # Box-sum each channel with a depthwise convolution.
+    box = jnp.ones((window, window, 1, 3), prods.dtype)
+    S = jax.lax.conv_general_dilated(
+        prods, box, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=3,
+    )[0]
+    Sxx, Syy, Sxy = S[..., 0], S[..., 1], S[..., 2]
+    half_tr = 0.5 * (Sxx + Syy)
+    half_df = 0.5 * (Sxx - Syy)
+    lam_min = half_tr - jnp.sqrt(half_df * half_df + Sxy * Sxy)
+    ys = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    interior = (
+        (ys >= BORDER) & (ys < H - BORDER) & (xs >= BORDER) & (xs < W - BORDER)
+    )
+    lam_min = jnp.where(interior, lam_min, 0.0)
+    thresh = quality_level * jnp.max(lam_min)
+    return jnp.where(lam_min > thresh, lam_min, 0.0)
+
+
 def nms(scores: jnp.ndarray, window: int = 3) -> jnp.ndarray:
     """3x3 (or window^2) non-max suppression: keep local maxima.
 

@@ -18,7 +18,13 @@ import jax.numpy as jnp
 
 from .ops import matching as m_ops
 from .ops.detector import Features, detect_and_describe_with_sampling
-from .ops.pnp import ransac_pnp, refine_pose_gn, _reproj_err2
+from .ops.pnp import (
+    ransac_pnp,
+    ransac_pnp_depth,
+    refine_pose_gn,
+    refine_pose_gn_depth,
+    _reproj_err2,
+)
 from .ops.projection import normalize_points
 
 
@@ -51,6 +57,10 @@ class TrackOutput(NamedTuple):
     # zeros when the step was built without a local map.
     guided_idx: jnp.ndarray = None
     guided_valid: jnp.ndarray = None
+    # Per-keypoint stereo depth measurements (stereo steps only; None on
+    # mono). Host-side keyframe promotion feeds these to the stereo handler.
+    kp_z: jnp.ndarray = None
+    kp_z_valid: jnp.ndarray = None
 
 
 def make_track_step(
@@ -68,6 +78,10 @@ def make_track_step(
     height: float | None = None,
     guided_radius_px: float = 25.0,
     guided_ratio: float = 0.8,
+    stereo: bool = False,
+    baseline: float = 0.0,
+    stereo_row_tolerance: float = 2.0,
+    min_depth: float = 0.1,
 ):
     # 128 hypotheses: at the >=60% inlier ratios of steady-state tracking the
     # clean-sample probability is ~1 - 1e-6, and the motion-model GN fallback
@@ -80,26 +94,54 @@ def make_track_step(
     landmarks to keypoints inside a pixel window (ops.guided_matching) — the
     ORB-SLAM "track local map" stage the reference lacks — and PnP runs on
     the union of guided and reference-block pairs (guided wins per keypoint:
-    it covers landmarks the reference block never saw)."""
+    it covers landmarks the reference block never saw).
+
+    With ``stereo=True`` (requires ``baseline > 0``) the step takes a
+    (2, H, W) image pair, detects on BOTH cameras, measures per-keypoint
+    depth via the row-gated Hamming matcher (ops/stereo.py), and solves a
+    depth-aware PnP (normalized-disparity residual) — the full rectified-
+    stereo tracking step in ONE compiled program (reference stereo tracking
+    is a stub, visual_slam/tracking.py:415-430)."""
     Kinv = jnp.linalg.inv(K)
     focal = K[0, 0]
     thresh = pnp_threshold_px / focal
     w_img = float(width) if width is not None else float(2.0 * K[0, 2])
     h_img = float(height) if height is not None else float(2.0 * K[1, 2])
+    bf = baseline * float(K[0, 0])
+    if stereo and baseline <= 0:
+        raise ValueError("stereo=True requires a positive baseline")
     from .ops import orb as orb_ops
     from .ops.guided_matching import guided_match
+    from .ops.stereo import stereo_feature_depths
 
     @jax.jit
     def _track_step(state: TrackState, img: jnp.ndarray, sampling: jnp.ndarray):
-        feats = detect_and_describe_with_sampling(
-            img,
-            sampling,
-            num_features=num_features,
-            threshold=fast_threshold,
-            n_levels=n_levels,
-            scale=scale,
-            grid=grid,
-        )
+        def detect(im):
+            return detect_and_describe_with_sampling(
+                im,
+                sampling,
+                num_features=num_features,
+                threshold=fast_threshold,
+                n_levels=n_levels,
+                scale=scale,
+                grid=grid,
+            )
+
+        if stereo:
+            feats = detect(img[0])
+            feats_r = detect(img[1])
+            sd = stereo_feature_depths(
+                feats.xy, feats.desc, feats.valid,
+                feats_r.xy, feats_r.desc, feats_r.valid,
+                bf, row_tolerance=stereo_row_tolerance,
+                max_disparity=bf / min_depth,
+            )
+            kp_z = sd["z"]
+            kp_z_valid = sd["valid"] & (kp_z > min_depth)
+        else:
+            feats = detect(img)
+            kp_z = jnp.zeros(num_features, jnp.float32)
+            kp_z_valid = jnp.zeros(num_features, bool)
         match = m_ops.match_descriptors(
             feats.desc, state.ref_feats.desc, feats.valid, state.ref_feats.valid,
             feats.angle, state.ref_feats.angle,
@@ -129,15 +171,27 @@ def make_track_step(
         else:
             guided_idx = jnp.zeros(num_features, jnp.int32)
             guided_valid = jnp.zeros(num_features, bool)
-        res = ransac_pnp(
-            pts3d, xy_norm, pair_valid, sub,
-            n_hyp=pnp_hypotheses, thresh=thresh,
-        )
-        # Motion-model fallback: robust GN from the predicted pose.
-        R_f, t_f = refine_pose_gn(
-            T_pred[:3, :3], T_pred[:3, 3], pts3d, xy_norm,
-            pair_valid.astype(jnp.float32), iters=8, huber=thresh,
-        )
+        if stereo:
+            res = ransac_pnp_depth(
+                pts3d, xy_norm, pair_valid, kp_z, kp_z_valid, baseline, sub,
+                n_hyp=pnp_hypotheses, thresh=thresh,
+            )
+            R_f, t_f = refine_pose_gn_depth(
+                T_pred[:3, :3], T_pred[:3, 3], pts3d, xy_norm,
+                pair_valid.astype(jnp.float32),
+                kp_z, kp_z_valid.astype(jnp.float32), baseline,
+                iters=8, huber=thresh,
+            )
+        else:
+            res = ransac_pnp(
+                pts3d, xy_norm, pair_valid, sub,
+                n_hyp=pnp_hypotheses, thresh=thresh,
+            )
+            # Motion-model fallback: robust GN from the predicted pose.
+            R_f, t_f = refine_pose_gn(
+                T_pred[:3, :3], T_pred[:3, 3], pts3d, xy_norm,
+                pair_valid.astype(jnp.float32), iters=8, huber=thresh,
+            )
         err_f = _reproj_err2(R_f, t_f, pts3d, xy_norm)
         inl_f = (err_f < thresh * thresh) & pair_valid
         use_fallback = jnp.sum(inl_f) > res["n_inliers"]
@@ -162,6 +216,8 @@ def make_track_step(
             pnp_inliers=inliers,
             guided_idx=guided_idx,
             guided_valid=guided_valid,
+            kp_z=kp_z,
+            kp_z_valid=kp_z_valid,
         )
         return new_state, out
 
@@ -187,12 +243,25 @@ def make_frame_step(
     guided_radius_px: float = 25.0,
     guided_ratio: float = 0.8,
     dist: jnp.ndarray | None = None,
+    stereo: bool = False,
+    rgbd: bool = False,
+    baseline: float = 0.0,
+    stereo_row_tolerance: float = 2.0,
+    min_depth: float = 0.1,
+    max_depth: float = 50.0,
+    depth_scale: float = 1.0,
 ):
     """Fused host-pipeline frame step: detect -> projection-guided landmark
     association -> RANSAC-PnP (+ predicted-pose GN fallback), ONE jitted
     program. Unlike ``make_track_step`` it takes the local-map landmark
     block and the predicted pose explicitly, so the host Tracking state
     machine can drive it while paying a single dispatch per frame.
+    With ``stereo=True`` the image argument is a (2, H, W) pair; the step
+    detects on both cameras, measures per-keypoint depth, and solves the
+    depth-aware PnP (returns features_right/kp_z/kp_z_valid additionally).
+    With ``rgbd=True`` the image argument is a (2, H, W) stack of
+    (gray, depth): per-keypoint depth is looked up in-program and the same
+    depth-aware PnP runs with the virtual ``baseline``.
 
     Returns fn(img, lm_pos (M,3), lm_desc (M,8) u32, lm_valid (M,),
     T_pred (4,4), key) -> dict(features, T_w2c, n_inliers, pair_valid,
@@ -200,23 +269,52 @@ def make_frame_step(
     """
     from .ops.guided_matching import guided_match
     from .ops.projection import undistort_pixels
+    from .ops.stereo import sample_depth_at, stereo_feature_depths
 
     Kinv = jnp.linalg.inv(K)
     focal = K[0, 0]
     thresh = pnp_threshold_px / focal
     dist_arr = None if dist is None else jnp.asarray(dist, jnp.float32)
+    bf = baseline * float(K[0, 0])
+    if (stereo or rgbd) and baseline <= 0:
+        raise ValueError("stereo/rgbd requires a positive (virtual) baseline")
+    use_depth = stereo or rgbd
 
     @jax.jit
     def _frame_step(img, lm_pos, lm_desc, lm_valid, T_pred, key, sampling):
-        feats = detect_and_describe_with_sampling(
-            img, sampling,
-            num_features=num_features, threshold=fast_threshold,
-            n_levels=n_levels, scale=scale, grid=grid,
-        )
-        if dist_arr is not None:
-            # Work in ideal pinhole coordinates throughout (reference
-            # camera.py:160-169 undistorts ad hoc; here it is in-program).
-            feats = feats._replace(xy=undistort_pixels(K, Kinv, dist_arr, feats.xy))
+        def detect(im):
+            f = detect_and_describe_with_sampling(
+                im, sampling,
+                num_features=num_features, threshold=fast_threshold,
+                n_levels=n_levels, scale=scale, grid=grid,
+            )
+            if dist_arr is not None:
+                # Work in ideal pinhole coordinates throughout (reference
+                # camera.py:160-169 undistorts ad hoc; here it is in-program).
+                f = f._replace(xy=undistort_pixels(K, Kinv, dist_arr, f.xy))
+            return f
+
+        feats_r = None
+        if stereo:
+            feats = detect(img[0])
+            feats_r = detect(img[1])
+            sd = stereo_feature_depths(
+                feats.xy, feats.desc, feats.valid,
+                feats_r.xy, feats_r.desc, feats_r.valid,
+                bf, row_tolerance=stereo_row_tolerance,
+                max_disparity=bf / min_depth,
+            )
+            kp_z = sd["z"]
+            kp_z_valid = sd["valid"] & (kp_z > min_depth)
+        elif rgbd:
+            feats = detect(img[0])
+            sd = sample_depth_at(img[1], feats.xy, depth_scale=depth_scale)
+            kp_z = sd["z"]
+            kp_z_valid = sd["valid"] & (kp_z > min_depth) & (kp_z < max_depth)
+        else:
+            feats = detect(img)
+            kp_z = jnp.zeros(num_features, jnp.float32)
+            kp_z_valid = jnp.zeros(num_features, bool)
         g = guided_match(
             lm_pos, lm_desc, lm_valid, T_pred, K,
             feats.xy, feats.desc, feats.valid, width, height,
@@ -225,14 +323,26 @@ def make_frame_step(
         pts3d = g["pts3d"]
         pair_valid = g["valid"]
         xy_norm = normalize_points(Kinv, feats.xy)
-        res = ransac_pnp(
-            pts3d, xy_norm, pair_valid, key,
-            n_hyp=pnp_hypotheses, thresh=thresh,
-        )
-        R_f, t_f = refine_pose_gn(
-            T_pred[:3, :3], T_pred[:3, 3], pts3d, xy_norm,
-            pair_valid.astype(jnp.float32), iters=8, huber=thresh,
-        )
+        if use_depth:
+            res = ransac_pnp_depth(
+                pts3d, xy_norm, pair_valid, kp_z, kp_z_valid, baseline, key,
+                n_hyp=pnp_hypotheses, thresh=thresh,
+            )
+            R_f, t_f = refine_pose_gn_depth(
+                T_pred[:3, :3], T_pred[:3, 3], pts3d, xy_norm,
+                pair_valid.astype(jnp.float32),
+                kp_z, kp_z_valid.astype(jnp.float32), baseline,
+                iters=8, huber=thresh,
+            )
+        else:
+            res = ransac_pnp(
+                pts3d, xy_norm, pair_valid, key,
+                n_hyp=pnp_hypotheses, thresh=thresh,
+            )
+            R_f, t_f = refine_pose_gn(
+                T_pred[:3, :3], T_pred[:3, 3], pts3d, xy_norm,
+                pair_valid.astype(jnp.float32), iters=8, huber=thresh,
+            )
         err_f = _reproj_err2(R_f, t_f, pts3d, xy_norm)
         inl_f = (err_f < thresh * thresh) & pair_valid
         use_fallback = jnp.sum(inl_f) > res["n_inliers"]
@@ -241,7 +351,7 @@ def make_frame_step(
         inliers = jnp.where(use_fallback, inl_f, res["inliers"])
         n_inl = jnp.sum(inliers)
         T = jnp.eye(4, dtype=jnp.float32).at[:3, :3].set(R).at[:3, 3].set(t)
-        return {
+        out = {
             "features": feats,
             "T_w2c": T,
             "n_inliers": n_inl,
@@ -250,6 +360,11 @@ def make_frame_step(
             "pnp_inliers": inliers,
             "ok": n_inl >= 6,
         }
+        if use_depth:
+            out["features_right"] = feats_r
+            out["kp_z"] = kp_z
+            out["kp_z_valid"] = kp_z_valid
+        return out
 
     def frame_step(img, lm_pos, lm_desc, lm_valid, T_pred, key):
         from .ops import orb as orb_ops

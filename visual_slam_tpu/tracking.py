@@ -487,14 +487,41 @@ class Tracking:
     # -- relocalization (reference stub tracking.py:596-598; implemented) --
     def _relocalize(self, images, timestamp, depth, max_candidates: int = 5) -> dict:
         frame = self._create_frame(images, timestamp, depth)
+        # Primary: descriptor PnP against the UNION landmark block of the
+        # recent keyframes. Per-KF matching alone starves on sparse keyframes
+        # (observed: 26 raw matches x 72/320 landmark slots -> 9 pairs, under
+        # the inlier gate); the union block offers every local landmark.
         for kf in reversed(self.map.get_keyframes()[-max_candidates:]):
             res, pts3d, xy_obs, pair_valid = self._track_reference_keyframe(frame, kf)
             if res is None or int(pair_valid.sum()) < 6:
                 continue
             pose_res = self._optimize_pose(frame, pts3d, xy_obs, pair_valid)
+            # ORB-SLAM relocalization recipe: a coarse PnP pose from the few
+            # slot-landmark matches (often under the quality gate on sparse
+            # keyframes — observed 9 pairs / 7 inliers) seeds a projection-
+            # guided search over the local landmark block, and the expanded
+            # candidate set is re-optimized before the gate is applied.
+            guided_used = None
+            if pose_res.get("ok") and pose_res.get("n_inliers", 0) >= 6:
+                guided = self._track_guided(frame, n_keyframes=8, radius_px=20.0)
+                if guided is not None and int(guided["valid"].sum()) >= 6:
+                    refined = self._optimize_pose(
+                        frame, guided["pts3d"], guided["xy"], guided["valid"]
+                    )
+                    if refined.get("n_inliers", 0) > pose_res.get("n_inliers", 0):
+                        pose_res = refined
+                        guided_used = guided
             if self._is_tracking_good(pose_res):
                 self.logger.info("relocalized against KF %d", kf.keyframe_id)
                 self.reference_keyframe = kf
+                # Extend the map immediately: the relocalized frame becomes a
+                # keyframe, so subsequent frames track fresh geometry instead
+                # of the stale pre-loss keyframes (observed: without this the
+                # camera moves on and tracking re-dies within a frame).
+                creation_info = {"pnp_inliers": pose_res.get("pnp_inliers")}
+                if guided_used is not None:
+                    creation_info["guided"] = guided_used
+                self._create_keyframe(frame, res, creation_info)
                 self.motion_model = np.eye(4)
                 self.last_frame = frame
                 self.state = State.OK

@@ -23,6 +23,8 @@ class FusedMonoTracking(BaseTrackingAlgorithm):
         self.n_local_keyframes = n_local_keyframes
         self.landmark_cap = landmark_cap  # None -> scales with feature budget
         self._step = None
+        self._stereo = False
+        self._rgbd = False
         self._key = jax.random.PRNGKey(31)
         self._fallback = MonoTracking(n_local_keyframes, use_guided=False)
 
@@ -33,6 +35,15 @@ class FusedMonoTracking(BaseTrackingAlgorithm):
             cam = tracking.camera
             fcfg = tracking.config.feature
             tcfg = tracking.config.tracking
+            sensor = tracking.config.camera.sensor_type
+            stereo = (
+                sensor == "stereo"
+                and tcfg.use_depth_residual
+                and float(getattr(cam, "baseline", 0.0)) > 0
+            )
+            rgbd = sensor == "rgbd" and tcfg.use_depth_residual
+            self._stereo = stereo
+            self._rgbd = rgbd
             self._step = make_frame_step(
                 jnp.asarray(cam.K, jnp.float32),
                 float(cam.width), float(cam.height),
@@ -44,6 +55,17 @@ class FusedMonoTracking(BaseTrackingAlgorithm):
                 pnp_hypotheses=tcfg.pnp_hypotheses,
                 pnp_threshold_px=tcfg.pnp_threshold_px,
                 dist=cam.D if cam.has_distortion else None,
+                stereo=stereo,
+                rgbd=rgbd,
+                baseline=(
+                    float(getattr(cam, "baseline", 0.0))
+                    if stereo
+                    else tcfg.rgbd_virtual_baseline
+                ),
+                stereo_row_tolerance=tcfg.stereo_row_tolerance,
+                min_depth=tracking.config.local_mapping.min_depth,
+                max_depth=tracking.config.local_mapping.max_depth,
+                depth_scale=tcfg.depth_scale,
             )
         return self._step
 
@@ -54,8 +76,8 @@ class FusedMonoTracking(BaseTrackingAlgorithm):
         from ..map import Frame
 
         step = self._get_step(tracking)
-        image = images[0] if isinstance(images, (list, tuple)) else images
-        gray = image if image.ndim == 2 else _to_gray(image)
+        imgs = list(images) if isinstance(images, (list, tuple)) else [images]
+        grays = [im if im.ndim == 2 else _to_gray(im) for im in imgs]
         pos, desc, lvalid, landmarks = tracking._local_landmark_block(
             self.n_local_keyframes, cap=self.landmark_cap
         )
@@ -65,16 +87,37 @@ class FusedMonoTracking(BaseTrackingAlgorithm):
             else np.eye(4)
         )
         self._key, sub = jax.random.split(self._key)
+        if self._stereo and len(grays) > 1:
+            img_arg = jnp.stack([jnp.asarray(g, jnp.float32) for g in grays[:2]])
+        elif self._rgbd and depth is not None:
+            img_arg = jnp.stack(
+                [jnp.asarray(grays[0], jnp.float32), jnp.asarray(depth, jnp.float32)]
+            )
+        else:
+            img_arg = jnp.asarray(grays[0], jnp.float32)
         out = step(
-            jnp.asarray(gray, jnp.float32),
+            img_arg,
             jnp.asarray(pos), jnp.asarray(desc), jnp.asarray(lvalid),
             jnp.asarray(T_pred, jnp.float32), sub,
         )
         feats = out["features"]
+        feat_list = [feats]
+        if out.get("features_right") is not None:
+            feat_list.append(out["features_right"])
         frame = Frame(
-            images=[image], images_gray=[gray], features=[feats],
+            images=imgs, images_gray=grays, features=feat_list,
             timestamp=timestamp, depth=depth,
         )
+        if "kp_z" in out:
+            # In-step stereo depth: reused by PnP retries and KF handlers.
+            lcfg = tracking.config.local_mapping
+            z = np.asarray(out["kp_z"])
+            frame.kp_z = z
+            frame.kp_z_valid = (
+                np.asarray(out["kp_z_valid"]) & (z > lcfg.min_depth) & (z < lcfg.max_depth)
+            )
+        elif tracking.config.camera.sensor_type == "rgbd":
+            tracking._measure_depth(frame)
         tracking.map.add_frame(frame)
         tracking.current_frame = frame
 
