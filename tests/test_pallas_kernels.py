@@ -69,3 +69,30 @@ def test_pallas_batched_equals_xla_map(rng):
         ref_colarg = np.asarray(jnp.argmin(dist, axis=0))
         col_ok = np.asarray(jnp.min(dist, axis=0)) < BIG * 0.5
         np.testing.assert_array_equal(np.asarray(colarg[c])[col_ok], ref_colarg[col_ok])
+
+
+def test_pallas_patch_gather_equals_xla(rng):
+    """Aligned-DMA + roll patch gather (interpret mode) must reproduce the
+    XLA extract_patches windows exactly, and the 1024-position weight
+    variants must give identical orientations/descriptors."""
+    from visual_slam_tpu.ops.pallas_patches import extract_patches32_pallas
+    from visual_slam_tpu.ops.orb import (
+        SAMPLING_NP, _IDX_31_IN_32, descriptors, extract_patches, orientations,
+    )
+
+    img = jnp.asarray(rng.uniform(0, 255, (120, 160)), jnp.float32)
+    yx = jnp.asarray(
+        np.stack([rng.integers(0, 120, 40), rng.integers(0, 160, 40)], 1), np.int32
+    )
+    a = extract_patches(img, yx)
+    b = extract_patches32_pallas(img, yx, interpret=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b)[:, :31, :31])
+    ang31 = orientations(a)
+    np.testing.assert_allclose(
+        np.asarray(ang31), np.asarray(orientations(b)), atol=1e-5
+    )
+    S32 = np.zeros((1024, SAMPLING_NP.shape[1]), np.float32)
+    S32[_IDX_31_IN_32] = SAMPLING_NP
+    d31 = descriptors(a, ang31, jnp.asarray(SAMPLING_NP))
+    d32 = descriptors(b, ang31, jnp.asarray(S32))
+    np.testing.assert_array_equal(np.asarray(d31), np.asarray(d32))

@@ -101,9 +101,22 @@ def detect_and_describe_with_sampling(
         sub = fast_ops.subpixel_offsets(scores, yx)
 
         blurred = pyr_ops.gaussian_blur(lvl, sigma=2.0, radius=3)
-        patches_raw = orb_ops.extract_patches(lvl, yx)
-        patches_blur = orb_ops.extract_patches(blurred, yx)
-        ang = orb_ops.orientations(patches_raw)
+        if sampling.shape[0] == 32 * 32:
+            # Pallas detection tail (TPU): aligned-DMA patch gather with
+            # in-register intensity-centroid moments, 32x32 descriptor
+            # windows matched by the 1024-position sampling matrix. The XLA
+            # path's serialized gather + (K, 961) retiling measured ~5 ms of
+            # the 6.6 ms detection budget.
+            from .pallas_patches import patches_and_moments_pallas
+
+            mom, patches_blur = patches_and_moments_pallas(
+                lvl, blurred, yx, orb_ops.moment_weights32()
+            )
+            ang = jnp.arctan2(mom[:, 1], mom[:, 0])
+        else:
+            patches_raw = orb_ops.extract_patches(lvl, yx)
+            patches_blur = orb_ops.extract_patches(blurred, yx)
+            ang = orb_ops.orientations(patches_raw)
         desc = orb_ops.descriptors(patches_blur, ang, sampling)
 
         sx = W0 / Wl

@@ -57,19 +57,42 @@ def extract_patches(img: jnp.ndarray, yx: jnp.ndarray) -> jnp.ndarray:
     return jax.vmap(one)(yx)
 
 
-_MOMENT_W = jnp.stack(
-    [jnp.asarray((_xx * (_yy**2 + _xx**2 <= RADIUS**2)).astype(np.float32)).reshape(-1),
-     jnp.asarray((_yy * (_yy**2 + _xx**2 <= RADIUS**2)).astype(np.float32)).reshape(-1)],
+_MOMENT_W_NP = np.stack(
+    [(_xx * (_yy**2 + _xx**2 <= RADIUS**2)).astype(np.float32).reshape(-1),
+     (_yy * (_yy**2 + _xx**2 <= RADIUS**2)).astype(np.float32).reshape(-1)],
     axis=-1,
 )  # (961, 2): disk-masked x / y moment weights
+_MOMENT_W = jnp.asarray(_MOMENT_W_NP)
+
+# Index remap 31x31 -> 32x32 flattening (the Pallas patch gather returns
+# sublane-aligned 32x32 windows; position (y, x) moves from y*31+x to
+# y*32+x, padded row/col weighted zero).
+_IDX_31_IN_32 = (np.arange(PATCH * PATCH) // PATCH) * 32 + np.arange(PATCH * PATCH) % PATCH
+
+_MOMENT_W32_NP = np.zeros((32 * 32, 2), np.float32)
+_MOMENT_W32_NP[_IDX_31_IN_32] = _MOMENT_W_NP
+_MOMENT_W32 = jnp.asarray(_MOMENT_W32_NP)
+
+# (2, 32, 32) image-shaped variant for the Pallas in-kernel intensity
+# centroid. Module-level device constant: lazily building it inside a traced
+# caller would cache a tracer (observed UnexpectedTracerError).
+_MOMENT_W32_IMG = jnp.asarray(_MOMENT_W32_NP.T.reshape(2, 32, 32))
+
+
+def moment_weights32() -> jnp.ndarray:
+    """(2, 32, 32) disk-masked x/y moment weights for the Pallas in-kernel
+    intensity-centroid computation."""
+    return _MOMENT_W32_IMG
 
 
 def orientations(patches: jnp.ndarray) -> jnp.ndarray:
-    """Intensity-centroid angle per patch: (K, 31, 31) -> (K,) radians.
-    One (K, 961) x (961, 2) matmul instead of masked reductions."""
+    """Intensity-centroid angle per patch: (K, 31, 31) or (K, 32, 32)
+    (Pallas-aligned) -> (K,) radians. One (K, P^2) x (P^2, 2) matmul instead
+    of masked reductions."""
     flat = patches.reshape(patches.shape[0], -1)
+    w = _MOMENT_W32 if flat.shape[1] == 32 * 32 else _MOMENT_W
     m = jax.lax.dot_general(
-        flat, _MOMENT_W,
+        flat, w,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (K, 2) = (m10, m01)
@@ -116,14 +139,28 @@ def _make_rotated_sampling_matrices() -> np.ndarray:
 SAMPLING_NP = _make_rotated_sampling_matrices()  # (961, 30*512) float32
 
 _sampling_device = None
+_sampling_device32 = None
 
 
 def sampling_matrix() -> jnp.ndarray:
     """Device-resident copy of the rotated-BRIEF sampling matrix (uploaded
     once per process). Kept f32: a bf16 experiment showed no wall-clock gain
     (the step is not bound by this stream in practice) while bf16 sampling
-    noise flips near-tie descriptor bits on low-texture patches."""
-    global _sampling_device
+    noise flips near-tie descriptor bits on low-texture patches.
+
+    On TPU (Pallas patch gather active) the 1024-row variant is returned —
+    rows remapped to the 32x32 flattening, padded positions weighted zero.
+    The matrix SHAPE selects the patch-extraction path inside the detector,
+    so callers that thread it through jit stay consistent by construction."""
+    global _sampling_device, _sampling_device32
+    from .matching import _use_pallas
+
+    if _use_pallas():
+        if _sampling_device32 is None:
+            S32 = np.zeros((32 * 32, SAMPLING_NP.shape[1]), np.float32)
+            S32[_IDX_31_IN_32] = SAMPLING_NP
+            _sampling_device32 = jnp.asarray(S32)
+        return _sampling_device32
     if _sampling_device is None:
         _sampling_device = jnp.asarray(SAMPLING_NP)
     return _sampling_device
