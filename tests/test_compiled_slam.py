@@ -43,8 +43,9 @@ def test_compiled_slam_per_frame_poses(run):
 def test_compiled_slam_trajectory(run):
     slam, infos, Ts_gt = run
     # Per-frame trajectory vs GT (skip the pre-init frames).
-    idx = [int(round(t / 0.1)) for t, _ in slam.poses]
-    est = np.stack([-T[:3, :3].T @ T[:3, 3] for _, T in slam.poses])
+    ts, Ts = slam.trajectory()
+    idx = [int(round(t / 0.1)) for t in ts]
+    est = np.stack([-T[:3, :3].T @ T[:3, 3] for T in Ts])
     gt = np.stack([-Ts_gt[i][:3, :3].T @ Ts_gt[i][:3, 3] for i in idx])
     res = ate_rmse(est, gt, align_scale=True)
     # 14 frames x 0.3 step = 4.2 path; allow 8% on the crude renderer.
@@ -113,3 +114,46 @@ def test_compiled_slam_stereo():
     res = ate_rmse(est, gt, align_scale=False)  # metric: no alignment
     assert res["rmse"] < 0.35, res
     assert slam.map.num_map_points() > 50
+
+
+@pytest.mark.slow
+def test_compiled_slam_loop_closing():
+    """CompiledSLAM + loop closing on a circular revisit trajectory: the
+    host loop-closing component plugs into the compiled path's Map; a
+    closure rewrites keyframes and the KF-anchored trajectory() propagates
+    the correction to per-frame poses."""
+    from render import loop_path, make_ring_world, render
+    from visual_slam_tpu.config import Config
+    from visual_slam_tpu.utils.metrics import ate_rmse
+
+    N, STEP = 100, 0.25
+    rng = np.random.default_rng(11)
+    Ts = loop_path(N, step=STEP, closes=1.06)
+    yaw_rate = 2 * np.pi * 1.06 / N
+    radius = STEP / (2 * np.sin(yaw_rate / 2))
+    world = make_ring_world(rng, np.array([-radius, 0.0, 0.0]), radius + 3.0, radius + 13.0)
+    f, W, H = 260.0, 320, 240
+    K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1.0]])
+    cfg = Config()
+    cfg.feature.num_features = 320
+    cfg.feature.num_pyramid_levels = 2
+    cfg.feature.fast_threshold = 12.0
+    cfg.feature.grid_cells = 4
+    cfg.initialization.min_inliers = 40
+    cfg.tracking.keyframe_interval = 2
+    cfg.tracking.local_map_size = 2048
+    cfg.optimization.window_size = 6
+    cfg.loop_closing.enabled = True
+    cam = PinholeCamera(width=W, height=H, K=K)
+    slam = CompiledSLAM(cam, cfg)
+    for i, T in enumerate(Ts):
+        slam.track([render(world, T, K, W, H)], timestamp=i * 0.1)
+    slam.shutdown()
+    assert slam.state.name == "OK"
+    assert len(slam.loop_closing.closed_loops) >= 1
+    ts, Tw = slam.trajectory()
+    idx = [int(round(t / 0.1)) for t in ts]
+    est = np.stack([-T[:3, :3].T @ T[:3, 3] for T in Tw])
+    gt = np.stack([-Ts[j][:3, :3].T @ Ts[j][:3, 3] for j in idx])
+    res = ate_rmse(est, gt, align_scale=True)
+    assert res["rmse"] < 0.02 * STEP * N, res  # measured ~0.43% of path

@@ -110,6 +110,17 @@ class CompiledSLAM:
             camera, self.config, self._feature_tracker, self.map, logger=self.logger
         )
         self._initializer.optimizer = self.optimizer
+        # Loop closing operates on the same Map the compiled path maintains
+        # (keyframes + landmarks), so the host component plugs in directly.
+        if self.config.loop_closing.enabled:
+            from ..loop_closing import LoopClosing
+
+            self.loop_closing = LoopClosing(
+                self.map, camera, self.config, optimizer=self.optimizer,
+                logger=self.logger,
+            )
+        else:
+            self.loop_closing = None
 
     # ------------------------------------------------------------------ API
     def track(self, images, timestamp: float, depth=None) -> dict:
@@ -139,12 +150,25 @@ class CompiledSLAM:
     def trajectory(self) -> tuple[np.ndarray, np.ndarray]:
         """Materialize per-frame poses: (timestamps (N,), T_w2c (N, 4, 4)).
         One stacked device->host transfer, not N (each transfer is a full
-        round trip on remote-attached devices)."""
+        round trip on remote-attached devices).
+
+        Each frame is anchored to its reference keyframe: the recorded pose
+        is recomposed as T_rel(at track time) @ T_ref(now), so windowed-BA
+        refinements and loop-closure corrections applied to keyframes AFTER
+        the frame was tracked propagate into the trajectory (the ORB-SLAM
+        relative-trajectory recovery)."""
         if not self.poses:
             return np.zeros(0), np.zeros((0, 4, 4))
-        ts = np.asarray([t for t, _ in self.poses])
-        Ts = np.asarray(jnp.stack([T for _, T in self.poses]), np.float64)
-        return ts, Ts
+        ts = np.asarray([p[0] for p in self.poses])
+        Ts = np.asarray(jnp.stack([p[1] for p in self.poses]), np.float64)
+        out = np.empty_like(Ts)
+        for i, (_, _, ref_kf, T_ref_snap) in enumerate(self.poses):
+            if ref_kf is None:
+                out[i] = Ts[i]
+            else:
+                T_rel = Ts[i] @ np.linalg.inv(T_ref_snap)
+                out[i] = T_rel @ ref_kf.T_w2c
+        return ts, out
 
     def shutdown(self) -> None:
         self.flush()
@@ -168,7 +192,9 @@ class CompiledSLAM:
             self.state = State.OK
             kf = self.map.get_last_keyframe()
             self._install_reference(kf, T_init=kf.T_w2c)
-            self.poses.append((timestamp, jnp.asarray(kf.T_w2c, jnp.float32)))
+            self.poses.append(
+                (timestamp, jnp.asarray(kf.T_w2c, jnp.float32), kf, kf.T_w2c.copy())
+            )
         return {"state": self.state.name}
 
     def _relocalize(self, imgs, timestamp) -> dict:
@@ -186,7 +212,7 @@ class CompiledSLAM:
             if n_inl >= tcfg.min_inliers:
                 self.state = State.OK
                 T = np.asarray(out.T_w2c, np.float64)
-                self.poses.append((timestamp, out.T_w2c))
+                self.poses.append((timestamp, out.T_w2c, kf, kf.T_w2c.copy()))
                 self._pending = None
                 # Extend the map immediately: the relocalized frame becomes a
                 # keyframe so subsequent frames track fresh geometry instead
@@ -244,7 +270,9 @@ class CompiledSLAM:
     # ------------------------------------------------------- steady state
     def _track_compiled(self, imgs, timestamp) -> dict:
         self._track_state, out = self._step(self._track_state, self._img_arg(imgs))
-        self.poses.append((timestamp, out.T_w2c))
+        self.poses.append(
+            (timestamp, out.T_w2c, self._ref_kf, self._ref_kf.T_w2c.copy())
+        )
         self._frames_since_kf += 1
         info = {"state": self.state.name}
         # Start the decision scalars' device->host copies NOW, so by the
@@ -353,10 +381,12 @@ class CompiledSLAM:
                 self.map.optimize_local(
                     self.optimizer, kfs[-self.config.optimization.window_size:]
                 )
-            T_new = kf.T_w2c  # BA may have moved the new keyframe
-
-        else:
-            T_new = T
+        if self.loop_closing is not None:
+            # A closure rewrites every keyframe pose + landmark; the
+            # reference/arena swap below re-reads them, so the compiled
+            # state picks the corrected map up automatically.
+            self.loop_closing.process_keyframe(kf)
+        T_new = kf.T_w2c if self.map.num_keyframes() > 2 else T
         self._install_reference(kf, T_init=T_new)
 
     def _create_stereo_points(self, kf: KeyFrame, out) -> int:
