@@ -143,6 +143,40 @@ def bench_vo_step(imgs, K_np, num_features=2000):
     return n_iter / (time.perf_counter() - t0)
 
 
+def bench_stereo_step(imgs, K_np, num_features=2000, baseline=0.54):
+    """Steady-state fused STEREO step FPS: detect both cameras + in-program
+    row-gated disparity + depth-aware PnP, one dispatch per frame (KITTI
+    stereo geometry: bf = 0.54 m x fx)."""
+    import jax
+    import jax.numpy as jnp
+
+    from visual_slam_tpu.ops.detector import detect_and_describe
+    from visual_slam_tpu.pipeline import init_track_state, make_track_step
+
+    rng = np.random.default_rng(1)
+    K = jnp.asarray(K_np)
+    feats0 = detect_and_describe(imgs[0], num_features=num_features, threshold=20.0, n_levels=4)
+    xy = np.asarray(feats0.xy)
+    z = rng.uniform(8, 40, num_features).astype(np.float32)
+    Kinv = np.linalg.inv(K_np)
+    rays = np.concatenate([xy, np.ones((num_features, 1), np.float32)], 1) @ Kinv.T
+    landmarks = rays * z[:, None]
+    state = init_track_state(feats0, landmarks, np.asarray(feats0.valid), np.eye(4), seed=0)
+    step = make_track_step(
+        K, num_features=num_features, n_levels=4, stereo=True, baseline=baseline
+    )
+    pairs = [jnp.stack([im, im]) for im in imgs]  # zero-disparity synthetic pair
+    state_w, out = step(state, pairs[1])
+    jax.block_until_ready(out.T_w2c)
+    n_iter = 60
+    t0 = time.perf_counter()
+    s = state
+    for i in range(n_iter):
+        s, out = step(s, pairs[1 + (i % (len(pairs) - 1))])
+    jax.block_until_ready(out.T_w2c)
+    return n_iter / (time.perf_counter() - t0)
+
+
 def bench_full_pipeline(num_features=2000, n_frames=40, frame_kw=None):
     """CompiledSLAM end to end on a KITTI-sized synthetic sequence: FPS with
     all host decision/keyframe/BA work included, plus mono-aligned ATE."""
@@ -214,11 +248,13 @@ def main():
     # BA first (relay dispatch inflation, see module docstring).
     ba_med, ba_p90 = bench_ba(K_np)
     fps = bench_vo_step(imgs, K_np, num_features)
+    fps_stereo = bench_stereo_step(imgs, K_np, num_features)
     full = bench_full_pipeline(num_features)
 
     extra = {
         "ba_ms_median_10kf_4096pts_20iter": round(ba_med, 3),
         "ba_ms_p90": round(ba_p90, 3),
+        "stereo_tracked_fps": round(fps_stereo, 2),
         "backend": jax.devices()[0].platform,
         "device": str(jax.devices()[0]),
     }

@@ -82,3 +82,48 @@ def test_resume_in_fresh_process_restores_id_counters(tmp_path):
         slam2.track([frames[i]], timestamp=i * 0.1)
     assert slam2.state == State.OK
     assert slam2.map.num_keyframes() > n_kf, "keyframe creation starved after resume"
+
+
+def test_compiled_slam_save_resume(tmp_path):
+    """CompiledSLAM checkpoint: save after a run, resume in a new instance,
+    keep tracking the same sequence."""
+    import numpy as np
+
+    from render import make_world, render, camera_path
+    from visual_slam_tpu.camera import PinholeCamera
+    from visual_slam_tpu.models import CompiledSLAM
+    from test_slam_e2e import small_config
+
+    rng = np.random.default_rng(7)
+    world = make_world(rng)
+    Ts = camera_path(10, step=0.3)
+    f, W, H = 260.0, 320, 240
+    K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1.0]])
+    cam = PinholeCamera(width=W, height=H, K=K)
+    slam = CompiledSLAM(cam, small_config())
+    for i in range(6):
+        slam.track([render(world, Ts[i], K, W, H)], timestamp=i * 0.1)
+    slam.flush()
+    assert slam.state.name == "OK"
+    n_kf = slam.map.num_keyframes()
+    n_poses = len(slam.poses)
+    slam.save(tmp_path / "ckpt")
+
+    slam2 = CompiledSLAM.resume(tmp_path / "ckpt", cam)
+    assert slam2.state.name == "OK"
+    assert slam2.map.num_keyframes() == n_kf
+    assert len(slam2.poses) == n_poses
+    for i in range(6, 10):
+        info = slam2.track([render(world, Ts[i], K, W, H)], timestamp=i * 0.1)
+    slam2.flush()
+    assert slam2.state.name == "OK"
+    ts, Tw = slam2.trajectory()
+    assert len(ts) > n_poses  # kept tracking after resume
+    # resumed trajectory stays near GT (mono: Umeyama scale alignment)
+    from visual_slam_tpu.utils.metrics import ate_rmse
+
+    idx = [int(round(t / 0.1)) for t in ts]
+    est = np.stack([-T[:3, :3].T @ T[:3, 3] for T in Tw])
+    gt = np.stack([-Ts[j][:3, :3].T @ Ts[j][:3, 3] for j in idx])
+    res = ate_rmse(est, gt, align_scale=True)
+    assert res["rmse"] < 0.35, res

@@ -185,6 +185,51 @@ class CompiledSLAM:
             "num_frames": len(self.poses),
         }
 
+    def save(self, path) -> None:
+        """Checkpoint map + the materialized trajectory (SLAM.save parity)."""
+        import json
+        from pathlib import Path
+
+        from ..utils.serialization import save_map
+
+        path = Path(path)
+        path.mkdir(parents=True, exist_ok=True)
+        save_map(self.map, path / "map.npz")
+        ts, Ts = self.trajectory()
+        np.savez_compressed(path / "trajectory.npz", ts=ts, T_w2c=Ts)
+        meta = {"state": self.state.name, "config": self.config.to_dict()}
+        (path / "slam.json").write_text(json.dumps(meta, indent=2))
+
+    @classmethod
+    def resume(cls, path, camera, log_dir: str | None = None) -> "CompiledSLAM":
+        """Restore a checkpointed system: the map is reloaded, the compiled
+        step's reference block + landmark arena reinstalled from the last
+        keyframe, and tracking continues from its pose."""
+        import json
+        from pathlib import Path
+
+        from ..utils.serialization import load_map
+
+        path = Path(path)
+        meta = json.loads((path / "slam.json").read_text())
+        cfg = Config.from_dict(meta["config"])
+        slam = cls(camera, cfg, log_dir=log_dir)
+        slam.map = load_map(path / "map.npz")
+        slam._initializer.map = slam.map
+        if slam.loop_closing is not None:
+            slam.loop_closing.map = slam.map
+        kf = slam.map.get_last_keyframe()
+        if kf is not None and meta["state"] in ("OK", "MAPPING"):
+            slam.state = State.OK
+            slam._initializer.initialized = True
+            slam._install_reference(kf, T_init=kf.T_w2c)
+        traj = path / "trajectory.npz"
+        if traj.exists():
+            z = np.load(traj)
+            for t, T in zip(z["ts"], z["T_w2c"]):
+                slam.poses.append((float(t), jnp.asarray(T, jnp.float32), None, None))
+        return slam
+
     # ----------------------------------------------------------- bootstrap
     def _bootstrap(self, imgs, timestamp, depth) -> dict:
         self.state = State.INITIALIZING

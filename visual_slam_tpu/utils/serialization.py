@@ -34,6 +34,13 @@ def save_map(slam_map, path: str | Path) -> None:
         "kf_poses": np.stack([kf.T_w2c for kf in kfs]) if kfs else np.zeros((0, 4, 4)),
         "mp_positions": np.stack([mp.position for mp in mps]) if mps else np.zeros((0, 3)),
         "mp_colors": np.stack([mp.color for mp in mps]) if mps else np.zeros((0, 3), np.uint8),
+        # Landmark descriptors (zeros row = none): guided matching and the
+        # compiled step's arena need them after resume.
+        "mp_descs": np.stack(
+            [np.zeros(8, np.uint32) if mp.descriptor is None
+             else np.asarray(mp.descriptor, np.uint32).reshape(-1)[:8]
+             for mp in mps]
+        ) if mps else np.zeros((0, 8), np.uint32),
         "observations": np.asarray(obs, np.int64).reshape(-1, 4),
     }
     for r, kf in enumerate(kfs):
@@ -100,8 +107,11 @@ def load_map(path: str | Path):
             KeyFrame._kf_ids = itertools.count(max(nxt, int(z["kf_ids"].max()) + 1))
 
     mps = []
-    for pos, color in zip(z["mp_positions"], z["mp_colors"]):
+    descs = z["mp_descs"] if "mp_descs" in z else None
+    for i, (pos, color) in enumerate(zip(z["mp_positions"], z["mp_colors"])):
         mp = MapPoint(pos, color=color)
+        if descs is not None and descs[i].any():
+            mp.descriptor = descs[i]
         slam_map.add_map_point(mp)
         mps.append(mp)
 
