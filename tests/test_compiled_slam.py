@@ -157,3 +157,54 @@ def test_compiled_slam_loop_closing():
     gt = np.stack([-Ts[j][:3, :3].T @ Ts[j][:3, 3] for j in idx])
     res = ate_rmse(est, gt, align_scale=True)
     assert res["rmse"] < 0.02 * STEP * N, res  # measured ~0.43% of path
+
+
+@pytest.mark.slow
+def test_compiled_slam_rotation_dominant_ring():
+    """Rotation-dominant stress (6.2 deg/frame yaw, full circle in 58
+    frames): with the rotation keyframe gate at 5 deg the compiled path
+    keeps the reference fresh enough to survive, closes the revisit loop,
+    and stays within 2% of path ATE. (At the reference-parity 10 deg gate
+    the reference block staled 2-3 frames under this yaw and tracking died —
+    the gate, brute multi-KF recovery, and rotation-adaptive guided radius
+    added in round 2 are this regime's defenses.)"""
+    from render import loop_path, make_ring_world, render
+    from visual_slam_tpu.config import Config
+    from visual_slam_tpu.utils.metrics import ate_rmse
+
+    N, STEP = 64, 0.25
+    rng = np.random.default_rng(11)
+    Ts = loop_path(N, step=STEP, closes=1.1)
+    yaw_rate = 2 * np.pi * 1.1 / N
+    radius = STEP / (2 * np.sin(yaw_rate / 2))
+    world = make_ring_world(rng, np.array([-radius, 0.0, 0.0]), radius + 3.0, radius + 13.0)
+    f, W, H = 260.0, 320, 240
+    K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1.0]])
+    cfg = Config()
+    cfg.feature.num_features = 320
+    cfg.feature.num_pyramid_levels = 2
+    cfg.feature.fast_threshold = 12.0
+    cfg.feature.grid_cells = 4
+    cfg.initialization.min_inliers = 40
+    cfg.tracking.keyframe_interval = 2
+    cfg.tracking.local_map_size = 2048
+    cfg.tracking.kf_min_rotation_deg = 5.0
+    cfg.optimization.window_size = 6
+    cfg.loop_closing.enabled = True
+    cam = PinholeCamera(width=W, height=H, K=K)
+    slam = CompiledSLAM(cam, cfg)
+    lost = 0
+    for i, T in enumerate(Ts):
+        info = slam.track([render(world, T, K, W, H)], timestamp=i * 0.1)
+        if info.get("state") == "LOST":
+            lost += 1
+    slam.shutdown()
+    assert slam.state.name == "OK"
+    assert lost == 0
+    assert len(slam.loop_closing.closed_loops) >= 1
+    ts, Tw = slam.trajectory()
+    idx = [int(round(t / 0.1)) for t in ts]
+    est = np.stack([-T[:3, :3].T @ T[:3, 3] for T in Tw])
+    gt = np.stack([-Ts[j][:3, :3].T @ Ts[j][:3, 3] for j in idx])
+    res = ate_rmse(est, gt, align_scale=True)
+    assert res["rmse"] < 0.02 * STEP * N, res

@@ -85,6 +85,11 @@ class TrackingConfig:
     # Local-map landmark arena for the compiled step's projection-guided
     # association (CompiledSLAM); 0 disables the stage.
     local_map_size: int = 4096
+    # Base search window; the compiled step widens it with the motion
+    # model's rotation rate (see pipeline.make_track_step) — a static 25 px
+    # lost tracking at 6 deg/frame yaw (prediction lag pushes true matches
+    # out of the window), while a static 40 px admitted aliases that doubled
+    # ATE on translation-heavy sequences.
     guided_radius_px: float = 25.0
     guided_ratio: float = 0.8
     # Depth-aware tracking (stereo disparity / RGB-D depth residual in PnP —

@@ -323,7 +323,7 @@ class CompiledSLAM:
         # Start the decision scalars' device->host copies NOW, so by the
         # time the next frame's call reads them they are already local (a
         # synchronous fetch costs a full round trip on remote devices).
-        for arr in (out.n_inliers, out.n_matches):
+        for arr in (out.n_inliers, out.n_matches, out.T_w2c):
             copy_async = getattr(arr, "copy_to_host_async", None)
             if copy_async is not None:
                 copy_async()
@@ -341,14 +341,39 @@ class CompiledSLAM:
         info = {"n_inliers": n_inl, "n_matches": int(out.n_matches)}
         tcfg = self.config.tracking
         if n_inl < tcfg.min_inliers:
+            # Before declaring LOST, retry with brute multi-keyframe
+            # descriptor matching — the host path's fallback for frames
+            # where the prediction-gated association collapses (observed
+            # under fast yaw: matches stay >100 but inliers cliff). Costs
+            # extra dispatches only on these rare frames.
+            rec = self._brute_recover(out, timestamp)
+            if rec is not None:
+                info.update(rec)
+                return info
             self.state = State.LOST
             self._pending = None
             info["state"] = self.state.name
             self.logger.warning("compiled tracking lost (%d inliers)", n_inl)
             return info
+        # Motion gates (host path's kf_min_translation/rotation tests): under
+        # rotation-dominant motion the reference descriptors go stale long
+        # before the inlier count sags — a 6 deg/frame yaw killed tracking
+        # at interval-based promotion alone. The pose rides the same async
+        # device->host copy as the scalars.
+        T_prev = np.asarray(out.T_w2c, np.float64)
+        rot_deg = 0.0
+        trans = 0.0
+        if ref_kf is not None:
+            R_rel = T_prev[:3, :3] @ ref_kf.R_w2c.T
+            c = np.clip((np.trace(R_rel) - 1.0) / 2.0, -1.0, 1.0)
+            rot_deg = float(np.degrees(np.arccos(c)))
+            C_prev = -T_prev[:3, :3].T @ T_prev[:3, 3]
+            trans = float(np.linalg.norm(C_prev - ref_kf.camera_center))
         if (
             self._frames_since_kf > tcfg.keyframe_interval
             or n_inl < tcfg.kf_min_matches
+            or rot_deg > tcfg.kf_min_rotation_deg
+            or trans > tcfg.kf_min_translation
         ):
             # The trigger reads the PREVIOUS frame's (already materialized)
             # scalars, but the keyframe itself is the NEWEST submitted frame:
@@ -366,6 +391,83 @@ class CompiledSLAM:
                 self._promote_keyframe(out, timestamp, ref_kf, arena)
             info["new_keyframe"] = True
         return info
+
+    def _brute_recover(self, out, timestamp: float) -> Optional[dict]:
+        """Host-side rescue of a near-lost frame: brute-match its feature
+        block against the last keyframes (best landmark per keypoint across
+        them, as tracking._track_local_map), re-solve PnP, and promote the
+        frame so subsequent frames track fresh geometry."""
+        import jax
+
+        from ..ops.matching import match_descriptors
+        from ..ops.pnp import ransac_pnp
+
+        tcfg = self.config.tracking
+        feats = out.features
+        Kslots = feats.xy.shape[0]
+        best_dist = np.full(Kslots, np.inf, np.float32)
+        pts3d = np.zeros((Kslots, 3), np.float32)
+        pair_valid = np.zeros(Kslots, bool)
+        lm_of_slot: dict[int, MapPoint] = {}
+        kfs = self.map.get_keyframes()[-3:]
+        for kf in reversed(kfs):
+            fr = kf.get_features(0)
+            if fr is None:
+                continue
+            res = match_descriptors(
+                feats.desc, fr.desc, feats.valid, fr.valid,
+                feats.angle, fr.angle, ratio=0.8, cross_check=True,
+            )
+            ti = np.asarray(res["train_idx"])
+            pos, mask = kf.point_arrays(0)
+            ok = np.asarray(res["valid"]) & mask[ti]
+            dist = np.asarray(res["distance"])
+            take = ok & (dist < best_dist)
+            best_dist[take] = dist[take]
+            pts3d[take] = pos[ti[take]]
+            pair_valid |= take
+            for i in np.nonzero(take)[0]:
+                mp = kf.get_map_point(0, int(ti[i]))
+                if mp is not None:
+                    lm_of_slot[int(i)] = mp
+        if int(pair_valid.sum()) < 6:
+            return None
+        from ..ops.projection import normalize_points
+
+        xyn = normalize_points(jnp.asarray(self.camera.Kinv, jnp.float32), feats.xy)
+        res = ransac_pnp(
+            jnp.asarray(pts3d), xyn, jnp.asarray(pair_valid),
+            jax.random.PRNGKey(int(timestamp * 1000) & 0x7FFFFFFF),
+            n_hyp=tcfg.pnp_hypotheses, thresh=tcfg.pnp_threshold_px / self.camera.fx,
+        )
+        n_inl = int(res["n_inliers"])
+        if not bool(res["ok"]) or n_inl < tcfg.min_inliers:
+            return None
+        T = np.asarray(res["T"], np.float64)
+        inl = np.asarray(res["inliers"])
+        # Promote with the recovered associations (fresh reference for the
+        # frames that follow); the pending frame was tracked against the bad
+        # pose — drop its decision.
+        frame = Frame(features=[feats], timestamp=timestamp)
+        frame.update_pose(T)
+        kf = KeyFrame.from_frame(frame)
+        for i, mp in lm_of_slot.items():
+            if inl[i] and not mp.is_bad:
+                kf.add_map_point(0, i, mp)
+        self.map.add_keyframe(kf)
+        self._frames_since_kf = 0
+        self._pending = None
+        if self.map.num_keyframes() > 2:
+            kfs_all = self.map.get_keyframes()
+            if len(kfs_all) <= 2 * self.config.optimization.window_size:
+                self.map.optimize_global(self.optimizer)
+            else:
+                self.map.optimize_local(
+                    self.optimizer, kfs_all[-self.config.optimization.window_size:]
+                )
+        self._install_reference(kf, T_init=kf.T_w2c)
+        self.logger.info("brute-recovered near-lost frame (%d inliers)", n_inl)
+        return {"recovered": True, "n_inliers": n_inl, "new_keyframe": True}
 
     def _promote_keyframe(self, out, timestamp: float, ref: KeyFrame, arena) -> None:
         """Keyframe boundary: all data comes from the track step's outputs —
@@ -470,6 +572,22 @@ class CompiledSLAM:
         good = w_ok & tri_ops.depth_mask(T_ref, T_cur, pts3d, lcfg.min_depth, lcfg.max_depth)
         par = tri_ops.parallax_angles(T_ref, T_cur, pts3d)
         good &= par >= jnp.deg2rad(lcfg.min_parallax_deg)
+        # Reprojection gate: descriptor matches that pass ratio/cross-check
+        # but are geometrically wrong (aliasing under fast yaw) triangulate
+        # to points that re-project badly in their OWN two views; without
+        # this gate they enter the map, BA faithfully fits them, and
+        # downstream PnP loses consistency (observed: map went unusable in
+        # ~10 keyframes on a 6 deg/frame ring, while the gated host mapping
+        # path survived).
+        thresh_n = self.config.tracking.pnp_threshold_px / float(self.camera.fx)
+
+        def reproj_err2(T, x_obs):
+            pc = pts3d @ T[:3, :3].T + T[:3, 3]
+            z = jnp.where(jnp.abs(pc[:, 2]) < 1e-9, 1e-9, pc[:, 2])
+            return jnp.sum((pc[:, :2] / z[:, None] - x_obs) ** 2, axis=-1)
+
+        good &= reproj_err2(T_ref, x_ref) < thresh_n * thresh_n
+        good &= reproj_err2(T_cur, x_cur) < thresh_n * thresh_n
         good_np = np.asarray(good) & tri_mask
         pts_np = np.asarray(pts3d)
         desc_np = np.asarray(out.features.desc)

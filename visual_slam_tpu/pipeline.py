@@ -155,10 +155,23 @@ def make_track_step(
         key, sub = jax.random.split(state.key)
         T_pred = state.T_rel @ state.T_w2c
         if local_map:
+            # Rotation-adaptive search window: the constant-velocity
+            # prediction lags turn onsets by a fraction of the per-frame
+            # rotation, whose pixel-scale is ~focal x angle. A static 25 px
+            # window lost tracking at 6 deg/frame yaw; a static 40 px
+            # admitted aliases that doubled ATE under fast translation.
+            from .ops.lie import rotation_angle
+
+            rot = rotation_angle(state.T_rel[:3, :3])
+            radius_t = jnp.clip(
+                guided_radius_px + focal * rot,
+                guided_radius_px,
+                4.0 * guided_radius_px,
+            )
             g = guided_match(
                 state.lm_pos, state.lm_desc, state.lm_valid, T_pred, K,
                 feats.xy, feats.desc, feats.valid, w_img, h_img,
-                radius_px=guided_radius_px, ratio=guided_ratio,
+                radius_px=radius_t, ratio=guided_ratio,
             )
             guided_idx = g["lm_idx"]
             # The cross-checked, orientation-filtered reference-block match
