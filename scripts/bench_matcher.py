@@ -39,11 +39,17 @@ def bench_single(K1, K2):
 
     @jax.jit
     def xla_loop(d1, d2):
+        # Explicit XLA primitives: match_descriptors itself routes to the
+        # Pallas kernel on TPU, which would make this arm compare Pallas
+        # against Pallas.
         def body(c, _):
             a, b = c
-            r = m_ops.match_descriptors(a, b, v1, v2, ratio=0.75, cross_check=True)
-            a = jnp.roll(a, 1, 0) + r["n_matches"].astype(jnp.uint32)
-            return (a, b), r["n_matches"]
+            dist = m_ops.hamming_distance_matrix(a, b, v1, v2)
+            ti, d, ok = m_ops.match_nn(dist, ratio=0.75, cross_check=True)
+            ok = m_ops.unique_train(ti, d, ok, K2)
+            n = jnp.sum(ok)
+            a = jnp.roll(a, 1, 0) + n.astype(jnp.uint32)
+            return (a, b), n
 
         (_, _), ns = jax.lax.scan(body, (d1, d2), None, length=REPS)
         return ns
@@ -84,11 +90,19 @@ def bench_batched(C, K):
 
     @jax.jit
     def xla_loop(dq, dc):
+        # Explicit lax.map over XLA primitives (see note in bench_single).
         def body(c, _):
             q, t = c
-            r = m_ops.match_descriptors_batched(q, t, vq, vc, aq, jnp.zeros((C, K)))
-            q = jnp.roll(q, 1, 0) + r["n_matches"][0].astype(jnp.uint32)
-            return (q, t), r["n_matches"]
+
+            def one(cand):
+                d2, v2 = cand
+                dist = m_ops.hamming_distance_matrix(q, d2, vq, v2)
+                ti, d, ok = m_ops.match_nn(dist, ratio=0.75, cross_check=True)
+                return jnp.sum(m_ops.unique_train(ti, d, ok, K))
+
+            ns = jax.lax.map(one, (t, vc))
+            q = jnp.roll(q, 1, 0) + ns[0].astype(jnp.uint32)
+            return (q, t), ns
 
         (_, _), ns = jax.lax.scan(body, (dq, dc), None, length=REPS)
         return ns

@@ -213,3 +213,45 @@ def test_close_corrects_scale_drifted_map(rng):
     # The correction must improve BOTH map consistency and the trajectory.
     assert reproj1 < 0.7 * reproj0, (reproj0, reproj1)
     assert ate1 < 0.35 * ate0, (ate0, ate1)
+
+
+def test_sim3_loop_edge_scale_convention_nonzero_baseline():
+    """The loop edge's measured translation must carry the s_meas factor
+    (Sim(3) nodes store t = s x SE(3) translation): with 2x scale drift and
+    a revisit TWO baselines from the candidate, the corrected loop node must
+    land on the PnP-verified pose, not offset by (1 - 1/s) x baseline."""
+    import numpy as np
+
+    from visual_slam_tpu.loop_closing.pose_graph import (
+        build_sim3_graph,
+        optimize_sim3_graph,
+    )
+
+    N = 12
+    gt_C = np.zeros((N, 3))
+    est_C = np.zeros((N, 3))
+    s_cum = np.linspace(1.0, 2.0, N)  # accumulated mono scale drift
+    step = np.array([1.0, 0.0, 0.0])
+    for k in range(1, N):
+        d = step if k < 8 else -step  # out and back
+        gt_C[k] = gt_C[k - 1] + d
+        est_C[k] = est_C[k - 1] + s_cum[k] * d
+
+    def T_of(C):
+        T = np.eye(4)
+        T[:3, 3] = -C
+        return T
+
+    est = np.stack([T_of(c) for c in est_C]).astype(np.float32)
+    gt = np.stack([T_of(c) for c in gt_C]).astype(np.float32)
+    i, j = N - 1, 1
+    assert np.linalg.norm(gt_C[i] - gt_C[j]) > 1.5  # non-trivial revisit baseline
+    s_meas = s_cum[i] / s_cum[j]
+    T_meas = gt[i] @ np.linalg.inv(est[j])  # verification in j's gauge
+    g = build_sim3_graph(est, loop_edges=[(i, j, T_meas, float(s_meas))])
+    T_opt, scales, info = optimize_sim3_graph(g, n_iter=25)
+    T_opt = np.asarray(T_opt)
+    C_opt = np.stack([-T[:3, :3].T @ T[:3, 3] for T in T_opt])
+    err = np.linalg.norm(C_opt[i] - gt_C[i])
+    assert err < 0.1, err  # pre-fix bias here was ~0.9
+    assert abs(float(scales[i]) - s_meas) < 0.05

@@ -48,8 +48,9 @@ class RGBDKeyframeHandler(BaseKeyframeHandler):
             ok = np.asarray(res["valid"]) & np.asarray(feats.valid)
         ok = ok & (z > lcfg.min_depth) & (z < lcfg.max_depth)
         xy = np.asarray(feats.xy)
-        rays = np.concatenate([xy, np.ones((len(xy), 1))], axis=1) @ self.camera.Kinv.T
-        p_w = (rays * z[:, None]) @ kf.R_c2w.T + kf.t_c2w
+        from ..ops.stereo import backproject_np
+
+        p_w = backproject_np(self.camera.Kinv, kf.R_c2w, kf.t_c2w, xy, z)
         created = 0
         for i in np.nonzero(ok)[0]:
             if kf.get_map_point(0, int(i)) is not None:

@@ -59,9 +59,9 @@ class StereoKeyframeHandler(BaseKeyframeHandler):
             ok = np.asarray(res["valid"])
         ok = ok & (z > lcfg.min_depth) & (z < lcfg.max_depth)
         xy_l = np.asarray(fl.xy)
-        # Batched backprojection; only MapPoint object creation stays host-side.
-        rays = np.concatenate([xy_l, np.ones((len(xy_l), 1))], axis=1) @ self.camera.Kinv.T
-        p_w = (rays * z[:, None]) @ kf.R_c2w.T + kf.t_c2w
+        from ..ops.stereo import backproject_np
+
+        p_w = backproject_np(self.camera.Kinv, kf.R_c2w, kf.t_c2w, xy_l, z)
         created = 0
         for i_l in np.nonzero(ok)[0]:
             if kf.get_map_point(0, int(i_l)) is None:

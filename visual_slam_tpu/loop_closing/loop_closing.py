@@ -79,6 +79,8 @@ class LoopClosing:
         # subsequent keyframe of the overlap.
         self.cooldown = cooldown
         self._last_closed_kf_id: int = -(1 << 30)
+        # kf_id -> (desc, valid, angle) numpy blocks (features are immutable)
+        self._feat_cache: dict[int, tuple] = {}
 
     # -- detection ---------------------------------------------------------
     def detect(self, kf: KeyFrame) -> Optional[dict]:
@@ -99,11 +101,24 @@ class LoopClosing:
         f_q = kf.get_features(0)
         C = len(candidates)
         Cpad = _bucket(C)
-        feats = [c.get_features(0) for c in candidates]
+        # Keyframe feature blocks are immutable: materialize each candidate's
+        # device arrays to host ONCE (a blocking device->host copy costs a
+        # full round trip on remote-attached devices; re-fetching 3 arrays
+        # per candidate per keyframe scaled O(map size) dispatches).
+        feats = []
+        for c in candidates:
+            cached = self._feat_cache.get(c.keyframe_id)
+            if cached is None:
+                fc = c.get_features(0)
+                cached = (
+                    np.asarray(fc.desc), np.asarray(fc.valid), np.asarray(fc.angle)
+                )
+                self._feat_cache[c.keyframe_id] = cached
+            feats.append(cached)
         pad = Cpad - C
-        desc_c = np.stack([np.asarray(f.desc) for f in feats] + [np.asarray(feats[0].desc)] * pad)
-        valid_c = np.stack([np.asarray(f.valid) for f in feats] + [np.zeros_like(np.asarray(feats[0].valid))] * pad)
-        angle_c = np.stack([np.asarray(f.angle) for f in feats] + [np.asarray(feats[0].angle)] * pad)
+        desc_c = np.stack([f[0] for f in feats] + [feats[0][0]] * pad)
+        valid_c = np.stack([f[1] for f in feats] + [np.zeros_like(feats[0][1])] * pad)
+        angle_c = np.stack([f[2] for f in feats] + [feats[0][2]] * pad)
         res = match_descriptors_batched(
             f_q.desc, jnp.asarray(desc_c), f_q.valid, jnp.asarray(valid_c),
             f_q.angle, jnp.asarray(angle_c),
@@ -274,7 +289,11 @@ class LoopClosing:
         else:
             graph = build_sequential_graph(
                 poses, loop_edges=[(i, j, T_meas)] + [
-                    (a, b, poses[a] @ np.linalg.inv(poses[b])) for a, b, _ in covis
+                    # Covisibility edges keep their own (discounted) weights;
+                    # at the 5.0 loop weight dozens of drifted covis
+                    # measurements would drown the single loop constraint.
+                    (a, b, poses[a] @ np.linalg.inv(poses[b]), wt)
+                    for a, b, wt in covis
                 ],
             )
             T_opt, info = optimize_pose_graph(graph, n_iter=15)

@@ -212,6 +212,15 @@ def build_sim3_graph(
         k = (N - 1) + len(covis_edges) + idx
         ei[k], ej[k] = i, j
         Tm[k] = np.asarray(T_meas)
+        # Sim(3) node convention: x_c = s.R.x_w + t with the SE(3)
+        # translation recovered as t/s, so at convergence the edge's
+        # relative translation is s_i * (SE(3) relative translation). The
+        # geometric verification measures the SE(3) product T_i_corr @
+        # inv(T_j); its translation must be scaled by s_meas to be the
+        # Sim(3) measurement (at s_meas=1 this is a no-op; without it a
+        # drifted loop with a non-zero revisit baseline converges to a
+        # translation offset of (1 - 1/s_meas) x baseline).
+        Tm[k][:3, 3] *= s_meas
         sm[k] = s_meas
         w[k] = loop_weight
     node_fixed = np.zeros(N, bool)
@@ -241,8 +250,9 @@ def build_sequential_graph(
     Args:
       poses: (N, 4, 4) current T_w2c estimates (edge measurements are taken
         from consecutive pairs — the odometry constraints).
-      loop_edges: [(i, j, T_meas (4,4)), ...] — T_meas = T_i @ inv(T_j) as
-        re-estimated by loop verification.
+      loop_edges: [(i, j, T_meas (4,4)), ...] or [(i, j, T_meas, weight),
+        ...] — T_meas = T_i @ inv(T_j) as re-estimated by loop verification;
+        a 3-tuple gets ``loop_weight``.
     """
     import numpy as np
 
@@ -268,11 +278,12 @@ def build_sequential_graph(
         ei[k], ej[k] = k, k + 1
         Tm[k] = poses[k] @ np.linalg.inv(poses[k + 1])
         w[k] = 1.0
-    for idx, (i, j, T_meas) in enumerate(loop_edges):
+    for idx, edge in enumerate(loop_edges):
+        i, j, T_meas = edge[0], edge[1], edge[2]
         k = (N - 1) + idx
         ei[k], ej[k] = i, j
         Tm[k] = np.asarray(T_meas)
-        w[k] = loop_weight
+        w[k] = edge[3] if len(edge) > 3 else loop_weight
 
     return PoseGraph(
         T_w2c=jnp.asarray(T),

@@ -58,6 +58,17 @@ class KeyFrame(Frame):
 
     # -- landmark links (reference keyframe.py:82-105) ---------------------
     def add_map_point(self, cam_id: int, kp_idx: int, mp: MapPoint) -> None:
+        # One slot per landmark per (keyframe, camera): Observations keeps a
+        # single kp_idx per (kf, cam), so a second slot would leave a stale
+        # map_points entry that observation-indexed removal can never clean
+        # (and that blocks fresh landmark creation at that slot).
+        prev_idx = mp.observations.get(self.keyframe_id, cam_id)
+        if (
+            prev_idx is not None
+            and prev_idx != kp_idx
+            and self.map_points.get((cam_id, prev_idx)) is mp
+        ):
+            del self.map_points[(cam_id, prev_idx)]
         self.map_points[(cam_id, kp_idx)] = mp
         mp.add_observation(self.keyframe_id, cam_id, kp_idx)
 

@@ -132,7 +132,11 @@ class CompiledSLAM:
         return self._track_compiled(imgs, timestamp)
 
     def _img_arg(self, imgs):
-        if self._stereo and len(imgs) > 1:
+        if self._stereo:
+            if len(imgs) < 2:
+                raise ValueError(
+                    "stereo-configured CompiledSLAM needs [left, right] images"
+                )
             return jnp.stack(
                 [jnp.asarray(imgs[0], jnp.float32), jnp.asarray(imgs[1], jnp.float32)]
             )
@@ -547,8 +551,9 @@ class CompiledSLAM:
         kf.kp_z, kf.kp_z_valid = z, ok
         xy = np.asarray(out.features.xy)
         desc = np.asarray(out.features.desc)
-        rays = np.concatenate([xy, np.ones((len(xy), 1))], 1) @ self.camera.Kinv.T
-        p_w = (rays * z[:, None]) @ kf.R_c2w.T + kf.t_c2w
+        from ..ops.stereo import backproject_np
+
+        p_w = backproject_np(self.camera.Kinv, kf.R_c2w, kf.t_c2w, xy, z)
         created = 0
         for i in np.nonzero(ok)[0]:
             if kf.get_map_point(0, int(i)) is None:

@@ -29,8 +29,8 @@ BIG = 1e9
 
 def _use_pallas() -> bool:
     """Route matching through the fused Pallas kernel on TPU (measured on
-    v5e: 2.6x at the 2048x2048 tracking shape, 7.6x at the 2048x4096 guided
-    arena, 9.2x at the batched loop-detection shape — scripts/bench_matcher
+    v5e: 2.0-2.6x at the 2048x2048 tracking shape, 6.5-7.6x at the 2048x4096
+    guided arena, 8.6-9.2x at the batched loop-detection shape — scripts/bench_matcher
     .py). The XLA matmul path stays the reference/CPU implementation.
     Set VSLAM_NO_PALLAS=1 to disable."""
     if os.environ.get("VSLAM_NO_PALLAS"):

@@ -15,6 +15,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .matching import BIG, hamming_distance_matrix
 
@@ -100,3 +101,13 @@ def backproject_depths(
     rays = jnp.stack([xy[:, 0], xy[:, 1], ones], axis=-1) @ Kinv.T
     p_cam = rays * z[:, None]
     return p_cam @ T_c2w[:3, :3].T + T_c2w[:3, 3]
+
+
+def backproject_np(Kinv, R_c2w, t_c2w, xy, z) -> np.ndarray:
+    """Host-side batched backprojection (numpy twin of backproject_depths):
+    pixels (K, 2) + depths (K,) -> world points (K, 3). Shared by the
+    stereo/RGB-D keyframe handlers and CompiledSLAM's stereo landmark
+    creation."""
+    xy = np.asarray(xy)
+    rays = np.concatenate([xy, np.ones((len(xy), 1))], axis=1) @ np.asarray(Kinv).T
+    return (rays * np.asarray(z)[:, None]) @ np.asarray(R_c2w).T + np.asarray(t_c2w)

@@ -323,7 +323,13 @@ def make_frame_step(
             feats = detect(img[0])
             sd = sample_depth_at(img[1], feats.xy, depth_scale=depth_scale)
             kp_z = sd["z"]
-            kp_z_valid = sd["valid"] & (kp_z > min_depth) & (kp_z < max_depth)
+            # feats.valid gate: padded keypoint slots sit at (0, 0), where
+            # the depth map is usually non-zero — without the gate every
+            # empty slot gets a "valid" depth and the keyframe handler mints
+            # piles of identical bogus landmarks on the (0,0) ray.
+            kp_z_valid = (
+                sd["valid"] & feats.valid & (kp_z > min_depth) & (kp_z < max_depth)
+            )
         else:
             feats = detect(img)
             kp_z = jnp.zeros(num_features, jnp.float32)

@@ -87,9 +87,13 @@ class FusedMonoTracking(BaseTrackingAlgorithm):
             else np.eye(4)
         )
         self._key, sub = jax.random.split(self._key)
-        if self._stereo and len(grays) > 1:
+        if self._stereo:
+            if len(grays) < 2:
+                raise ValueError("stereo fused pipeline needs [left, right] images")
             img_arg = jnp.stack([jnp.asarray(g, jnp.float32) for g in grays[:2]])
-        elif self._rgbd and depth is not None:
+        elif self._rgbd:
+            if depth is None:
+                raise ValueError("rgbd fused pipeline needs a depth image")
             img_arg = jnp.stack(
                 [jnp.asarray(grays[0], jnp.float32), jnp.asarray(depth, jnp.float32)]
             )
