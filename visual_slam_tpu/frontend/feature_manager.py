@@ -7,7 +7,14 @@ bf-l2, flann) mapped onto the TPU-native implementations.
 from __future__ import annotations
 
 from ..config import FeatureConfig
-from .features import BaseFeature2D, FastOrbFeature2D, ShiTomasiOrbFeature2D, SIFTFeature2D
+from .features import (
+    BaseFeature2D,
+    FastOrbFeature2D,
+    GradHistFeature2D,
+    ShiTomasiGradHistFeature2D,
+    ShiTomasiOrbFeature2D,
+    SIFTFeature2D,
+)
 from .matcher import BaseMatcher, BFMatcherHamming, BFMatcherL2, FlannMatcher
 
 _DETECTORS = {
@@ -16,7 +23,10 @@ _DETECTORS = {
     "fast_orb_anms": FastOrbFeature2D,  # grid top-k subsumes ANMS balancing
     "fastbrief": FastOrbFeature2D,
     "shi_tomasi_orb": ShiTomasiOrbFeature2D,
-    "sift": SIFTFeature2D,
+    "sift": SIFTFeature2D,  # host cv2 fallback (reference parity)
+    "gradhist": GradHistFeature2D,  # TPU-native float family
+    "fast_gradhist": GradHistFeature2D,
+    "shi_tomasi_gradhist": ShiTomasiGradHistFeature2D,
 }
 
 _MATCHERS = {

@@ -80,6 +80,55 @@ class ShiTomasiOrbFeature2D(FastOrbFeature2D):
             self.fast_threshold = 0.01
 
 
+class GradHistFeature2D(BaseFeature2D):
+    """TPU-native float-descriptor family: FAST (or Shi-Tomasi) keypoints +
+    the 128-d gradient-histogram descriptor computed fully on device
+    (ops/floatdesc.py), L2-matched. The SIFT-class option with no host/cv2
+    dependency (the reference's float family delegates to cv2.SIFT)."""
+
+    score = "fast"
+
+    def __init__(
+        self,
+        num_features: int = 1000,
+        fast_threshold: float = 20.0,
+        n_levels: int = 4,
+        scale_factor: float = 1.2,
+        grid: int = 8,
+        **_: object,
+    ):
+        self.num_features = int(num_features)
+        self.fast_threshold = float(fast_threshold)
+        self.n_levels = int(n_levels)
+        self.scale_factor = float(scale_factor)
+        self.grid = int(grid)
+
+    def detectAndCompute(self, image: np.ndarray) -> Features:
+        from ..ops.floatdesc import detect_and_describe_gradhist
+
+        img = jnp.asarray(np.ascontiguousarray(image), jnp.float32)
+        return detect_and_describe_gradhist(
+            img,
+            num_features=self.num_features,
+            threshold=self.fast_threshold,
+            n_levels=self.n_levels,
+            scale=self.scale_factor,
+            grid=self.grid,
+            score=self.score,
+        )
+
+
+class ShiTomasiGradHistFeature2D(GradHistFeature2D):
+    """Shi-Tomasi scoring + GradHist float descriptors, all on device."""
+
+    score = "shi_tomasi"
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        if self.fast_threshold > 1.0:
+            self.fast_threshold = 0.01
+
+
 class SIFTFeature2D(BaseFeature2D):
     """Float-descriptor fallback via OpenCV (host-side; reference
     feature.py:53-83). Binary TPU detectors are the first-class path."""
