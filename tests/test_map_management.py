@@ -130,3 +130,27 @@ def test_keyframe_id_lookup(rng):
     assert m.get_keyframe_by_id(kf.keyframe_id) is kf
     m.remove_keyframe(kf)
     assert m.get_keyframe_by_id(kf.keyframe_id) is None
+
+
+def test_fuse_map_points(rng):
+    """Fusion transfers observations, rebinds slots, retires the duplicate."""
+    cfg, cam, m, lm = _setup(rng)
+    kf1 = KeyFrame(features=[_feats(rng)], timestamp=0.0)
+    kf2 = KeyFrame(features=[_feats(rng)], timestamp=0.1)
+    kf3 = KeyFrame(features=[_feats(rng)], timestamp=0.2)
+    for kf in (kf1, kf2, kf3):
+        m.add_keyframe(kf)
+    keep = MapPoint(np.array([0.0, 0.0, 5.0]))
+    drop = MapPoint(np.array([0.0, 0.0, 5.01]))
+    m.add_map_point(keep)
+    m.add_map_point(drop)
+    kf1.add_map_point(0, 1, keep)
+    kf2.add_map_point(0, 2, keep)
+    kf2.add_map_point(0, 3, drop)  # kf2 sees BOTH -> drop's slot is removed
+    kf3.add_map_point(0, 4, drop)  # kf3 sees only drop -> slot rebinds
+    moved = m.fuse_map_points(keep, drop)
+    assert moved == 1
+    assert drop.is_bad and m.num_map_points() == 1
+    assert kf3.get_map_point(0, 4) is keep
+    assert kf2.get_map_point(0, 3) is None
+    assert keep.num_observations() == 3

@@ -136,3 +136,53 @@ def test_rgbd_fused_pipeline_e2e():
     gt = np.stack([-Ts[i][:3, :3].T @ Ts[i][:3, 3] for i in idx])
     res = ate_rmse(est, gt, align_scale=False)  # metric from depth
     assert res["rmse"] < 0.3, res
+
+
+@pytest.mark.slow
+def test_stereo_loop_closure_ring():
+    """Stereo (metric) circular revisit: loop closes with s~1 through the
+    Sim(3) graph, per-frame depth residuals keep tracking alive through the
+    full turn, and final ATE is metric (NO scale alignment)."""
+    from render import loop_path, make_ring_world, render
+    from visual_slam_tpu.config import Config
+
+    N, STEP, BL = 80, 0.25, 0.4
+    rng = np.random.default_rng(11)
+    Ts = loop_path(N, step=STEP, closes=1.08)
+    yaw_rate = 2 * np.pi * 1.08 / N
+    radius = STEP / (2 * np.sin(yaw_rate / 2))
+    world = make_ring_world(rng, np.array([-radius, 0.0, 0.0]), radius + 3.0, radius + 13.0)
+    f, W, H = 260.0, 320, 240
+    K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1.0]])
+    cfg = Config()
+    cfg.camera.sensor_type = "stereo"
+    cfg.feature.num_features = 320
+    cfg.feature.num_pyramid_levels = 2
+    cfg.feature.fast_threshold = 12.0
+    cfg.feature.grid_cells = 4
+    cfg.initialization.min_inliers = 30
+    cfg.tracking.keyframe_interval = 2
+    cfg.optimization.window_size = 6
+    cfg.loop_closing.enabled = True
+    cam = PinholeCamera(width=W, height=H, K=K, baseline=BL)
+    slam = SLAM(cam, cfg)
+    lost = 0
+    for i, T in enumerate(Ts):
+        Tr = T.copy()
+        Tr[0, 3] -= BL
+        info = slam.track(
+            [render(world, T, K, W, H), render(world, Tr, K, W, H)],
+            timestamp=i * 0.1,
+        )
+        if info.get("state") == "LOST":
+            lost += 1
+    slam.shutdown()
+    assert slam.state == State.OK
+    assert lost == 0
+    assert len(slam.loop_closing.closed_loops) >= 1
+    kfs = slam.map.get_keyframes()
+    est = trajectory_from_keyframes(kfs)
+    idx = [int(round(kf.timestamp / 0.1)) for kf in kfs]
+    gt = np.stack([-Ts[j][:3, :3].T @ Ts[j][:3, 3] for j in idx])
+    res = ate_rmse(est, gt, align_scale=False)  # metric
+    assert res["rmse"] < 0.02 * STEP * N, res  # measured 0.77% of path

@@ -55,7 +55,10 @@ class MonoKeyframeHandler(BaseKeyframeHandler):
         return self.tracker.match(f1, f2)
 
     def _process_existing_points(self, kf: KeyFrame, nb: KeyFrame, r):
-        """Reuse neighbour landmarks; collect pairs needing triangulation
+        """Reuse neighbour landmarks; FUSE duplicates (a descriptor match
+        whose two sides carry different landmarks is one physical point
+        tracked twice — ORB-SLAM's Fuse step, absent in the reference, so
+        its duplicates accumulate); collect pairs needing triangulation
         (reference mono.py:82-124). Returns (n_reused, [(i_kf, i_nb), ...])."""
         reused = 0
         tri_pairs: list[tuple[int, int]] = []
@@ -64,11 +67,27 @@ class MonoKeyframeHandler(BaseKeyframeHandler):
         for i_kf in np.nonzero(ok)[0]:
             i_nb = int(ti[i_kf])
             mp = nb.get_map_point(0, i_nb)
+            mp_kf = kf.get_map_point(0, int(i_kf))
             if mp is not None and not mp.is_bad:
-                if kf.get_map_point(0, int(i_kf)) is None:
+                if mp_kf is None:
                     kf.add_map_point(0, int(i_kf), mp)
                     reused += 1
-            elif kf.get_map_point(0, int(i_kf)) is None:
+                elif mp_kf is not mp and not mp_kf.is_bad:
+                    # Geometric gate: only fuse when the two estimates agree
+                    # to ~10% of their distance from the keyframe (a badly
+                    # triangulated twin should be culled, not merged).
+                    d = float(np.linalg.norm(mp.position - mp_kf.position))
+                    depth = float(
+                        np.linalg.norm(mp.position - kf.camera_center)
+                    )
+                    if d <= 0.1 * max(depth, 1e-6):
+                        keep, drop = (
+                            (mp, mp_kf)
+                            if mp.num_observations() >= mp_kf.num_observations()
+                            else (mp_kf, mp)
+                        )
+                        self.map.fuse_map_points(keep, drop)
+            elif mp_kf is None:
                 tri_pairs.append((int(i_kf), i_nb))
         return reused, tri_pairs
 

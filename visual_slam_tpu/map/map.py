@@ -97,6 +97,31 @@ class Map:
             # with the map (e.g. pre-insertion init keyframes) — those clean
             # themselves up when the keyframe is dropped.
 
+    def fuse_map_points(self, keep: MapPoint, drop: MapPoint) -> int:
+        """Merge two landmarks observed as the same physical point (the
+        ORB-SLAM local-mapping Fuse step — the reference has no analogue, so
+        duplicate landmarks accumulate): transfer ``drop``'s observations to
+        ``keep`` where keep has none in that (keyframe, camera), rebinding
+        the keypoint slots; then retire ``drop``. Returns the number of
+        observations transferred."""
+        moved = 0
+        with self._lock:
+            if keep is drop:
+                return 0
+            for kf_id, cam_id, kp_idx in list(drop.observations.items()):
+                kf = self._kf_by_id.get(kf_id)
+                if kf is None or kf.map_points.get((cam_id, kp_idx)) is not drop:
+                    continue
+                if keep.observations.get(kf_id, cam_id) is None:
+                    kf.map_points[(cam_id, kp_idx)] = keep
+                    keep.add_observation(kf_id, cam_id, kp_idx)
+                    moved += 1
+                else:
+                    del kf.map_points[(cam_id, kp_idx)]
+            self._points.pop(drop.id, None)
+            drop.set_bad()
+        return moved
+
     def get_map_points(self) -> List[MapPoint]:
         with self._lock:
             return list(self._points.values())
