@@ -511,6 +511,32 @@ class CompiledSLAM:
                 kf.add_map_point(0, int(i), mp)
                 inherited[i] = True
 
+        # A keypoint carrying BOTH a guided-arena landmark and a different
+        # reference-block landmark is one physical point tracked twice —
+        # fuse them (local-mapping's Fuse step for the compiled path).
+        if g_idx is not None and len(arena):
+            C_kf = kf.camera_center
+            for i in np.nonzero(g_ok & inl & m_ok & ref_mask[ti])[0]:
+                r = int(g_idx[i])
+                if r >= len(arena):
+                    continue
+                mp_a = arena[r]
+                mp_b = ref.get_map_point(0, int(ti[i]))
+                if (
+                    mp_a is None or mp_b is None or mp_a is mp_b
+                    or mp_a.is_bad or mp_b.is_bad
+                ):
+                    continue
+                d = float(np.linalg.norm(mp_a.position - mp_b.position))
+                depth = float(np.linalg.norm(mp_a.position - C_kf))
+                if d <= 0.1 * max(depth, 1e-6):
+                    keep, drop = (
+                        (mp_a, mp_b)
+                        if mp_a.num_observations() >= mp_b.num_observations()
+                        else (mp_b, mp_a)
+                    )
+                    self.map.fuse_map_points(keep, drop)
+
         # Triangulate new landmarks from matched-but-landmarkless pairs.
         tri_mask = m_ok & ~ref_mask[ti] & ~inherited
         self._triangulate(kf, ref, ti, tri_mask, out)
