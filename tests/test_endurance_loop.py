@@ -5,9 +5,9 @@ real loop, and the loop closure must measurably beat the no-loop-closure
 ablation on final ATE.
 
 (The 200-frame variant of the same scenario lives in
-scripts/exp_loop_endurance.py; measured there: loop ON 0.68% of path vs
-OFF 1.48%, 1 closure after the cooldown fix, relocalization through the
-blackout.)"""
+scripts/exp_loop_endurance.py; measured there: loop ON 0.46% of path vs
+OFF 0.96% post-landmark-fusion, 1 closure after the cooldown fix,
+relocalization through the blackout.)"""
 import numpy as np
 import pytest
 
