@@ -88,3 +88,29 @@ def test_reset(slam_run):
     assert slam.state == State.NO_IMAGES_YET
     assert slam.map.num_keyframes() == 0
     assert slam.map.num_map_points() == 0
+
+
+def test_threaded_mode_e2e():
+    """Reference-parity threading (background local mapping + handlers):
+    same sequence as the synchronous e2e, must survive concurrent map
+    mutation (coarse Map lock + pure jitted compute) and shut down cleanly."""
+    rng = np.random.default_rng(42)
+    frames, Ts_gt, K, world = render_sequence(rng, n_frames=12, step=0.35)
+    cam = PinholeCamera(width=frames[0].shape[1], height=frames[0].shape[0], K=K)
+    slam = SLAM(cam, small_config(), threaded=True)
+    for i, img in enumerate(frames):
+        slam.track([img], timestamp=i * 0.1)
+    import time
+
+    deadline = time.time() + 20.0
+    while slam.local_mapping._queue.qsize() > 0 and time.time() < deadline:
+        time.sleep(0.05)
+    slam.shutdown()
+    assert slam.state == State.OK
+    kfs = slam.map.get_keyframes()
+    assert len(kfs) >= 3
+    est = trajectory_from_keyframes(kfs)
+    idx = [int(round(kf.timestamp / 0.1)) for kf in kfs]
+    gt = np.stack([-Ts_gt[i][:3, :3].T @ Ts_gt[i][:3, 3] for i in idx])
+    res = ate_rmse(est, gt, align_scale=True)
+    assert res["rmse"] < 0.5, res

@@ -219,7 +219,7 @@ class LMOptimizer(BaseOptimizer):
             return {"skipped": True}
         points = {}
         for kf in kfs:
-            for mp in kf.map_points.values():
+            for mp in list(kf.map_points.values()):
                 if not mp.is_bad:
                     points[mp.id] = mp
         if len(points) < 10:  # (reference torch_optimizer.py:99-101 bails <10 obs)

@@ -119,7 +119,7 @@ class LocalMapping:
         """Count shared landmarks with other keyframes (implemented; the
         reference leaves this commented out, local_mapping.py:108-118)."""
         counts: dict[int, int] = {}
-        for mp in kf.map_points.values():
+        for mp in list(kf.map_points.values()):
             if mp.is_bad:
                 continue
             for kf_id in mp.observations.get_keyframe_ids():
@@ -166,7 +166,7 @@ class LocalMapping:
         for kf in kfs[1:-2]:
             if kf.keyframe_id in protected or kf.is_fixed:
                 continue
-            mps = [mp for mp in kf.map_points.values() if not mp.is_bad]
+            mps = [mp for mp in list(kf.map_points.values()) if not mp.is_bad]
             if not mps:
                 self.map.remove_keyframe(kf)
                 self.covisibility.pop(kf.keyframe_id, None)

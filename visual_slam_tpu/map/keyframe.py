@@ -91,7 +91,9 @@ class KeyFrame(Frame):
         K = self.features[cam_id].xy.shape[0]
         pos = np.zeros((K, 3), np.float32)
         mask = np.zeros((K,), bool)
-        for (cid, kp_idx), mp in self.map_points.items():
+        # list(): GIL-atomic snapshot — the threaded mapping thread may
+        # be adding landmarks while tracking reads this view.
+        for (cid, kp_idx), mp in list(self.map_points.items()):
             if cid == cam_id and not mp.is_bad and kp_idx < K:
                 pos[kp_idx] = mp.position
                 mask[kp_idx] = True

@@ -138,7 +138,7 @@ class Map:
         for kf in kfs:
             pts, uvs = [], []
             kps = kf.keypoints(0)
-            for (cam_id, kp_idx), mp in kf.map_points.items():
+            for (cam_id, kp_idx), mp in list(kf.map_points.items()):
                 if cam_id != 0 or mp.is_bad:
                     continue
                 pts.append(mp.position)
@@ -161,7 +161,7 @@ class Map:
         # Dedupe landmarks across the window (reference map.py:150-171).
         points = {}
         for kf in kfs:
-            for mp in kf.map_points.values():
+            for mp in list(kf.map_points.values()):
                 if not mp.is_bad:
                     points[mp.id] = mp
         # Out-of-window keyframes observing window landmarks join as fixed

@@ -299,7 +299,7 @@ class CompiledSLAM:
         M = self._arena_size
         seen: dict[int, MapPoint] = {}
         for kf in reversed(self.map.get_keyframes()[-8:]):
-            for mp in kf.map_points.values():
+            for mp in list(kf.map_points.values()):
                 if not mp.is_bad and mp.id not in seen:
                     seen[mp.id] = mp
             if len(seen) >= M:

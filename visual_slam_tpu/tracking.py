@@ -256,7 +256,7 @@ class Tracking:
             cap = max(2048, 2 * self.config.feature.num_features)
         mps = {}
         for kf in self.map.get_keyframes()[-n_keyframes:]:
-            for mp in kf.map_points.values():
+            for mp in list(kf.map_points.values()):
                 if not mp.is_bad and mp.descriptor is not None:
                     mps[mp.id] = mp
         pos = np.zeros((cap, 3), np.float32)

@@ -21,7 +21,7 @@ def save_map(slam_map, path: str | Path) -> None:
 
     obs = []  # rows: (kf_row, cam_id, kp_idx, mp_row)
     for r, kf in enumerate(kfs):
-        for (cam_id, kp_idx), mp in kf.map_points.items():
+        for (cam_id, kp_idx), mp in list(kf.map_points.items()):
             i = mp_index.get(id(mp))
             if i is not None:
                 obs.append((r, cam_id, kp_idx, i))

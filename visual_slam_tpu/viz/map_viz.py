@@ -97,7 +97,7 @@ class MapVisualizer:
         """Shared-landmark reprojection overlay between two keyframes
         (reference map_viz.py:204-344). Returns the rendered image pair."""
         shared = []
-        for key1, mp in kf1.map_points.items():
+        for key1, mp in list(kf1.map_points.items()):
             if mp.is_bad:
                 continue
             kp2 = mp.observations.get(kf2.keyframe_id, 0)
