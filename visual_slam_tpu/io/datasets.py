@@ -8,11 +8,11 @@ calibration through the same DataSourceBase interface. All host-side.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 
-from .calibration import MonoCalibration, StereoCalibration, UniversalCalibration
+from .calibration import MonoCalibration, UniversalCalibration
 from .source import DataSourceBase, DatasetSource, imread_gray
 
 

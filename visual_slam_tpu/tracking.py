@@ -25,7 +25,7 @@ from .camera import Camera
 from .config import Config
 from .frontend.tracker import FeatureTracker
 from .initializer import Initializer
-from .map import Frame, KeyFrame, Map, Pose
+from .map import Frame, KeyFrame, Map
 from .ops.lie import rotation_angle
 from .ops.pnp import ransac_pnp
 from .ops.projection import normalize_points
