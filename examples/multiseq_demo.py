@@ -67,7 +67,12 @@ def main():
         states.append(init_track_state(feats, lm, has, np.eye(4), seed=b))
 
     batched = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
-    mesh = make_mesh("seq")
+    # Shard over at most B devices (sharding needs batch % devices == 0).
+    n_dev = len(jax.devices())
+    use = n_dev
+    while args.batch % use:
+        use -= 1
+    mesh = make_mesh("seq", devices=jax.devices()[:use])
     print(f"mesh: {dict(mesh.shape)} over {len(jax.devices())} {jax.devices()[0].platform} devices")
     batched = shard_batch(mesh, "seq", batched)
     step = make_batched_vo(

@@ -17,6 +17,14 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
+# --cpu must take effect BEFORE the package imports: module-level device
+# constants (e.g. the BRIEF sampling matrix) initialize the backend at
+# import time, after which the platform cannot change.
+if "--cpu" in sys.argv:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 from visual_slam_tpu.config import Config
 from visual_slam_tpu.processing import Processing
 from visual_slam_tpu.utils.serialization import (
@@ -35,10 +43,20 @@ def main():
     ap.add_argument("--features", type=int, default=2000)
     ap.add_argument("--native-loader", action="store_true")
     ap.add_argument("--out-dir", default="results")
+    ap.add_argument("--levels", type=int, default=None, help="pyramid levels")
+    ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
     args = ap.parse_args()
 
     cfg = Config()
     cfg.feature.num_features = args.features
+    if args.levels:
+        cfg.feature.num_pyramid_levels = args.levels
+    # Initialization inlier demand must scale with the feature budget (the
+    # default 100 is tuned for 2000 features; at --features 256 it could
+    # never be met and the system would sit in INITIALIZING forever).
+    cfg.initialization.min_inliers = min(
+        cfg.initialization.min_inliers, max(30, args.features // 8)
+    )
 
     source = args.image_dir
     if args.native_loader:
