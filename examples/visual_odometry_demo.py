@@ -2,7 +2,7 @@
 script equivalent of the reference's notebooks/VisualOdometry.ipynb (which
 depends on an unshipped KITTI download; this demo generates its own scene).
 
-  python examples/visual_odometry_demo.py
+  python examples/visual_odometry_demo.py [--cpu]
 """
 from __future__ import annotations
 
@@ -13,6 +13,13 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tests"))
+
+# Must precede the package imports (module-level device constants
+# initialize the backend at import time).
+if "--cpu" in sys.argv:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 from render import render_sequence  # tests/render.py synthetic world
 

@@ -114,3 +114,26 @@ def test_threaded_mode_e2e():
     gt = np.stack([-Ts_gt[i][:3, :3].T @ Ts_gt[i][:3, 3] for i in idx])
     res = ate_rmse(est, gt, align_scale=True)
     assert res["rmse"] < 0.5, res
+
+
+def test_run_to_run_determinism():
+    """Two identical in-process runs must produce bit-identical keyframe
+    trajectories: all PRNG streams are fixed-seeded and map iteration is
+    id-keyed (a set-keyed container would vary with object addresses).
+    Cross-BUILD determinism is explicitly NOT promised — XLA fusion changes
+    shift f32 numerics (see CLAUDE.md)."""
+    def run():
+        rng = np.random.default_rng(42)
+        frames, Ts_gt, K, world = render_sequence(rng, n_frames=10, step=0.35)
+        cam = PinholeCamera(width=frames[0].shape[1], height=frames[0].shape[0], K=K)
+        slam = SLAM(cam, small_config())
+        for i, img in enumerate(frames):
+            slam.track([img], timestamp=i * 0.1)
+        slam.shutdown()
+        kfs = slam.map.get_keyframes()
+        return np.stack([kf.T_w2c for kf in kfs]), slam.map.num_map_points()
+
+    T1, n1 = run()
+    T2, n2 = run()
+    assert n1 == n2
+    np.testing.assert_array_equal(T1, T2)
