@@ -111,9 +111,10 @@ def _ate_pct(poses, Ts_gt):
     return 100.0 * float(res["rmse"]) / max(path, 1e-9), len(idx)
 
 
-def test_ate_parity_with_reference(tmp_path):
-    rng = np.random.default_rng(42)
-    frames, Ts_gt, K, world = render_sequence(rng, n_frames=14, step=0.3)
+@pytest.mark.parametrize("seed,n_frames,step", [(42, 14, 0.3), (11, 14, 0.3)])
+def test_ate_parity_with_reference(tmp_path, seed, n_frames, step):
+    rng = np.random.default_rng(seed)
+    frames, Ts_gt, K, world = render_sequence(rng, n_frames=n_frames, step=step)
 
     # Reference at its default config: documents the terminal-LOST behavior.
     ref_poses_default, ref_states_default = _run_reference(
