@@ -23,7 +23,8 @@ class GlobalHandler(BaseHandler):
         if self.map.num_keyframes() < 3:
             return
         err_before = self.map.compute_mean_reprojection_error(self.camera.K)
-        result = self.map.optimize_global(self.optimizer)
+        with self.map._lock:  # consistent pack+solve+writeback (see local)
+            result = self.map.optimize_global(self.optimizer)
         err_after = self.map.compute_mean_reprojection_error(self.camera.K)
         result["reproj_before_px"] = err_before
         result["reproj_after_px"] = err_after

@@ -41,12 +41,18 @@ class LocalHandler(BaseHandler):
         err_before = (
             self.map.compute_mean_reprojection_error(self.camera.K) if log_err else -1.0
         )
-        if len(all_kfs) <= max(
-            self.config.optimization.global_ba_max_keyframes, 2 * self.window
-        ):
-            result = self.map.optimize_global(self.optimizer)
-        else:
-            result = self.map.optimize_local(self.optimizer, all_kfs[-self.window :])
+        # Hold the map lock across pack+solve+writeback: a keyframe inserted
+        # or a pose updated mid-solve makes the writeback overwrite newer
+        # state with results from a stale snapshot (observed in the threaded
+        # e2e: BA "improving" reprojection 0.6 -> 2.0 px). The compiled solve
+        # is milliseconds, so blocking concurrent map access is cheap.
+        with self.map._lock:
+            if len(all_kfs) <= max(
+                self.config.optimization.global_ba_max_keyframes, 2 * self.window
+            ):
+                result = self.map.optimize_global(self.optimizer)
+            else:
+                result = self.map.optimize_local(self.optimizer, all_kfs[-self.window :])
         err_after = (
             self.map.compute_mean_reprojection_error(self.camera.K) if log_err else -1.0
         )
