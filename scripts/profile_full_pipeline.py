@@ -1,0 +1,113 @@
+"""Per-stage wall-clock breakdown of the bench full-pipeline loop on the
+attached device. Monkeypatch-wraps CompiledSLAM internals with StageTimer so
+the bench path itself is unchanged. Run on TPU (background, generous
+timeout):
+
+    timeout 1800 python scripts/profile_full_pipeline.py
+"""
+from __future__ import annotations
+
+import functools
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+import bench
+from visual_slam_tpu.camera import PinholeCamera
+from visual_slam_tpu.config import Config
+from visual_slam_tpu.models import CompiledSLAM
+from visual_slam_tpu.utils.profiling import StageTimer
+
+TIMER = StageTimer()
+
+
+def timed(name):
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrap(*a, **k):
+            t0 = time.perf_counter()
+            try:
+                return fn(*a, **k)
+            finally:
+                TIMER.add(name, time.perf_counter() - t0)
+        return wrap
+    return deco
+
+
+def main():
+    import jax
+
+    print("device:", jax.devices()[0])
+    num_features = 2000
+    frames, K_np, Ts_gt = bench.synth_kitti_frames(
+        n_frames=40, seed=3, step=0.6, n_sprites=1500
+    )
+    cfg = Config()
+    cfg.feature.num_features = num_features
+    cfg.tracking.keyframe_interval = 4
+    cfg.optimization.max_points = 4096
+    cfg.initialization.min_inliers = 100
+    cam = PinholeCamera(
+        width=frames[0].shape[1], height=frames[0].shape[0],
+        K=np.asarray(K_np, np.float64),
+    )
+    slam = CompiledSLAM(cam, cfg)
+
+    # Instrument internals.
+    slam._decide = timed("decide")(slam._decide)
+    slam._promote_keyframe = timed("promote_total")(slam._promote_keyframe)
+    slam._triangulate = timed("promote.triangulate")(slam._triangulate)
+    slam._install_reference = timed("promote.install_ref")(slam._install_reference)
+    slam._refresh_arena = timed("promote.refresh_arena")(slam._refresh_arena)
+    opt = slam.optimizer
+    opt._pack = timed("ba.pack")(opt._pack)
+    orig_solve = opt._solve_and_writeback
+    opt._solve_and_writeback = timed("ba.solve_writeback")(orig_solve)
+    if slam.loop_closing is not None:
+        slam.loop_closing.process_keyframe = timed("loop_closing")(
+            slam.loop_closing.process_keyframe
+        )
+
+    step_inner = slam._step
+
+    def step_timed(state, img):
+        t0 = time.perf_counter()
+        out = step_inner(state, img)
+        TIMER.add("step_dispatch", time.perf_counter() - t0)
+        return out
+
+    slam._step = step_timed
+
+    i = 0
+    while slam.state.name != "OK" and i < 6:
+        slam.track([frames[i]], timestamp=i * 0.1)
+        i += 1
+    assert slam.state.name == "OK", "bootstrap failed"
+    slam.track([frames[i]], timestamp=i * 0.1)
+    i += 1
+    TIMER.reset()  # drop compile-time samples
+
+    t0 = time.perf_counter()
+    n_timed = 0
+    for k in range(i, len(frames)):
+        with TIMER("frame_total"):
+            with TIMER("img_upload"):
+                import jax.numpy as jnp
+                img = jnp.asarray(frames[k], jnp.float32)
+                # do NOT block: mirrors bench (upload async)
+            slam.track([img], timestamp=k * 0.1)
+        n_timed += 1
+    with TIMER("flush"):
+        slam.flush()
+    with TIMER("trajectory"):
+        ts, Ts = slam.trajectory()
+    dt = time.perf_counter() - t0
+    print(f"frames={n_timed} wall={dt:.2f}s fps={n_timed/dt:.2f}")
+    print(TIMER.report())
+
+
+if __name__ == "__main__":
+    main()

@@ -208,3 +208,30 @@ def test_compiled_slam_rotation_dominant_ring():
     gt = np.stack([-Ts[j][:3, :3].T @ Ts[j][:3, 3] for j in idx])
     res = ate_rmse(est, gt, align_scale=True)
     assert res["rmse"] < 0.02 * STEP * N, res
+
+
+def test_compiled_slam_chunked():
+    """Chunked multi-frame tracking (tracking.chunk_size > 1): lax.scan runs
+    chunk_size frames per dispatch; decisions land at chunk boundaries. The
+    chunked run must track the same sequence to comparable accuracy and
+    record a pose for EVERY frame (including a flush of a partial chunk)."""
+    rng = np.random.default_rng(42)
+    frames, Ts_gt, K, world = render_sequence(rng, n_frames=15, step=0.3)
+    cam = PinholeCamera(width=frames[0].shape[1], height=frames[0].shape[0], K=K)
+    cfg = small_config()
+    cfg.tracking.chunk_size = 4  # 15 frames -> bootstrap + chunks + partial
+    slam = CompiledSLAM(cam, cfg)
+    infos = [slam.track([img], timestamp=i * 0.1) for i, img in enumerate(frames)]
+    slam.shutdown()  # flushes the partial chunk
+    assert slam.state == State.OK, [i["state"] for i in infos]
+    assert any(i.get("new_keyframe") for i in infos)
+    assert slam.map.num_keyframes() >= 2
+    ts, Ts = slam.trajectory()
+    # Every post-init frame has a pose, in timestamp order.
+    assert ts.tolist() == sorted(ts.tolist())
+    assert slam.num_frames_tracked() == len(ts) >= 12
+    idx = [int(round(t / 0.1)) for t in ts]
+    est = np.stack([-T[:3, :3].T @ T[:3, 3] for T in Ts])
+    gt = np.stack([-Ts_gt[i][:3, :3].T @ Ts_gt[i][:3, 3] for i in idx])
+    res = ate_rmse(est, gt, align_scale=True)
+    assert res["rmse"] < 0.45, res

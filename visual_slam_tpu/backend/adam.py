@@ -90,7 +90,7 @@ class AdamOptimizer(LMOptimizer):
 
         map_points = self._select_points(map_points, cfg.max_points)
         m_bucket = min(_next_pow2(len(map_points)), cfg.max_points)
-        problem, used_points, kf_slot = self._pack(
+        problem, used_points, kf_slot, _, _ = self._pack(
             keyframes, map_points, w_bucket, m_bucket, fixed_flags
         )
         focal = float(self.camera.K[0, 0])
@@ -99,10 +99,13 @@ class AdamOptimizer(LMOptimizer):
         )
         T_np = np.array(T)  # writable copies (gauge re-projection mutates)
         X_np = np.array(X)
+        gauge_transform = None
         if renormalize_scale and len(keyframes) >= 2:
             # Adam's global BA drifts along the mono scale null direction just
             # like LM's — re-impose the gauge (CLAUDE.md).
-            X_np = self._reimpose_mono_gauge(T_np, X_np, keyframes, fixed_flags)
+            X_np, gauge_transform = self._reimpose_mono_gauge(
+                T_np, X_np, keyframes, fixed_flags
+            )
         for j, kf in enumerate(keyframes):
             if not kf.is_fixed and not fixed_flags[j]:
                 kf.update_pose(T_np[j].astype(np.float64))
@@ -114,4 +117,5 @@ class AdamOptimizer(LMOptimizer):
             "n_points": len(used_points),
             "n_keyframes": len(keyframes),
             "solver": "adam",
+            "gauge_transform": gauge_transform,
         }

@@ -93,19 +93,32 @@ class LMOptimizer(BaseOptimizer):
         pts = np.zeros((M, 3), np.float32)
         uv = np.zeros((M, W, 2), np.float32)
         obs_valid = np.zeros((M, W), bool)
-        used_points: List[MapPoint] = []
-        for i, mp in enumerate(map_points[:M]):
+        # Slot index of each packed observation, for O(#removed) culling in
+        # the writeback (a dense per-obs Python loop cost ~100-200 ms per
+        # boundary on the 1-core host; the loops below only collect indices).
+        kp_of = np.full((M, W), -1, np.int32)
+        used_points: List[MapPoint] = list(map_points[:M])
+        ii: List[int] = []
+        jj: List[int] = []
+        kk: List[int] = []
+        for i, mp in enumerate(used_points):
             pts[i] = mp.position
-            used_points.append(mp)
             for kf_id, cam_id, kp_idx in mp.observations.items():
                 j = kf_slot.get(kf_id)
                 if j is None or cam_id != 0:
                     continue
-                kf = keyframes[j]
-                kp = kf.keypoints(0)[kp_idx]
-                xy = Kinv[:2, :2] @ kp + Kinv[:2, 2]
-                uv[i, j] = xy
-                obs_valid[i, j] = True
+                ii.append(i)
+                jj.append(j)
+                kk.append(kp_idx)
+        if ii:
+            ia = np.asarray(ii)
+            ja = np.asarray(jj)
+            ka = np.asarray(kk)
+            kp_all = np.stack([kf.keypoints(0) for kf in keyframes])  # (Wr, K, 2)
+            uv_pix = kp_all[ja, ka]
+            uv[ia, ja] = uv_pix @ Kinv[:2, :2].T + Kinv[:2, 2]
+            obs_valid[ia, ja] = True
+            kp_of[ia, ja] = ka
 
         pose_fixed = np.zeros(W, bool)
         for j, fx in enumerate(fixed_flags):
@@ -118,7 +131,7 @@ class LMOptimizer(BaseOptimizer):
             pose_valid=jnp.asarray(pose_valid),
             pose_fixed=jnp.asarray(pose_fixed),
         )
-        return problem, used_points, kf_slot
+        return problem, used_points, kf_slot, obs_valid, kp_of
 
     def _select_points(self, map_points, cap: int):
         """Respect the landmark cap by keeping the BEST-OBSERVED points, not
@@ -141,7 +154,10 @@ class LMOptimizer(BaseOptimizer):
         as abrupt map-scale halvings). A similarity about KF0's camera center
         leaves every reprojection invariant, so re-impose the pre-solve
         KF0->KF1 baseline length exactly. Mutates T_np in place; returns the
-        re-scaled X_np. Every solver's global BA must apply this (CLAUDE.md)."""
+        re-scaled X_np plus the applied similarity as (s, b) with
+        x -> s*x + b (None if nothing was applied) so callers can version it
+        on the map (Map.record_gauge_transform) for in-flight pose catch-up.
+        Every solver's global BA must apply this (CLAUDE.md)."""
         def center(Tm):
             return -Tm[:3, :3].T @ Tm[:3, 3]
 
@@ -158,7 +174,8 @@ class LMOptimizer(BaseOptimizer):
                 Cj = C0 + s * (center(T_np[j]) - C0)
                 T_np[j, :3, 3] = -T_np[j, :3, :3] @ Cj
             X_np = C0 + s * (X_np - C0)
-        return X_np
+            return X_np, (s, (1.0 - s) * C0)
+        return X_np, None
 
     def _solve_and_writeback(
         self, keyframes, map_points, w_bucket, fixed_flags=None,
@@ -169,8 +186,11 @@ class LMOptimizer(BaseOptimizer):
             # Gauge: first KF frozen (reference torch_optimizer.py:54-57).
             fixed_flags = [j == 0 for j in range(len(keyframes))]
         map_points = self._select_points(map_points, cfg.max_points)
-        m_bucket = min(_bucket4(len(map_points), lo=256), cfg.max_points)
-        problem, used_points, kf_slot = self._pack(
+        m_bucket = min(
+            _bucket4(len(map_points), lo=cfg.point_bucket_floor),
+            max(cfg.max_points, cfg.point_bucket_floor),
+        )
+        problem, used_points, kf_slot, packed_valid, kp_of = self._pack(
             keyframes, map_points, w_bucket, m_bucket, fixed_flags
         )
         focal = float(self.camera.K[0, 0])
@@ -183,33 +203,42 @@ class LMOptimizer(BaseOptimizer):
             lam0=cfg.lm_lambda0,
             trim_factor=3.0,
         )
-        T_np = np.array(T)  # writable copies (gauge re-projection mutates)
-        X_np = np.array(X)
+        import jax
+
+        # One batched fetch for poses, landmarks, and solver info.
+        T_np, X_np, info = jax.device_get((T, X, info))
+        T_np = np.array(T_np)  # writable (gauge re-projection mutates)
+        X_np = np.array(X_np)
+        gauge_transform = None
         if renormalize_scale and len(keyframes) >= 2:
-            X_np = self._reimpose_mono_gauge(T_np, X_np, keyframes, fixed_flags)
-        kept = np.asarray(info["obs_kept"])
+            X_np, gauge_transform = self._reimpose_mono_gauge(
+                T_np, X_np, keyframes, fixed_flags
+            )
         for j, kf in enumerate(keyframes):
             if not kf.is_fixed and not fixed_flags[j]:
                 kf.update_pose(T_np[j].astype(np.float64))
+        X64 = X_np.astype(np.float64)
         for i, mp in enumerate(used_points):
-            mp.update_position(X_np[i].astype(np.float64))
-            # Drop observations the solver rejected (real implementation of
-            # the reference's cull_bad_points stub, local_handler.py:79-80).
-            for kf_id, cam_id, kp_idx in list(mp.observations.items()):
-                j = kf_slot.get(kf_id)
-                if j is not None and cam_id == 0 and not kept[i, j]:
-                    keyframes[j].remove_map_point(cam_id, kp_idx)
+            mp.position = X64[i]
+        # Drop observations the solver rejected (real implementation of the
+        # reference's cull_bad_points stub, local_handler.py:79-80). Only
+        # the REMOVED set is iterated — typically a handful per solve.
+        removed = packed_valid & ~np.asarray(info["obs_kept"])
+        for i, j in zip(*np.nonzero(removed)):
+            keyframes[j].remove_map_point(0, int(kp_of[i, j]))
+        for i in set(np.nonzero(removed)[0].tolist()):
             # Only fully orphaned landmarks die here: single-observation
             # points still serve PnP tracking, and keyframe culling may
             # legitimately reduce a good landmark to one observation.
-            if mp.num_observations() < 1:
-                mp.set_bad()
+            if used_points[i].num_observations() < 1:
+                used_points[i].set_bad()
         return {
             "cost0": float(info["cost0"]),
             "cost": float(info["cost"]),
             "n_trimmed": int(info["n_trimmed"]),
             "n_points": len(used_points),
             "n_keyframes": len(keyframes),
+            "gauge_transform": gauge_transform,
         }
 
     # -- public entry points ------------------------------------------------
@@ -244,7 +273,8 @@ class LMOptimizer(BaseOptimizer):
         if not anchors:
             fixed[0] = True  # gauge
         w_bucket = _bucket4(
-            max(self.config.optimization.window_size, len(all_kfs)), lo=4
+            max(self.config.optimization.window_size, len(all_kfs)),
+            lo=self.config.optimization.pose_bucket_floor,
         )
         return self._solve_and_writeback(all_kfs, pts, w_bucket=w_bucket, fixed_flags=fixed)
 
@@ -253,7 +283,7 @@ class LMOptimizer(BaseOptimizer):
         pts = [mp for mp in map_points if not mp.is_bad]
         if len(kfs) < 2 or len(pts) < 10:
             return {"skipped": True}
-        w_bucket = _bucket4(len(kfs), lo=4)
+        w_bucket = _bucket4(len(kfs), lo=self.config.optimization.pose_bucket_floor)
         return self._solve_and_writeback(
             kfs, pts, w_bucket=w_bucket, renormalize_scale=True
         )

@@ -92,6 +92,12 @@ class TrackingConfig:
     # ATE on translation-heavy sequences.
     guided_radius_px: float = 25.0
     guided_ratio: float = 0.8
+    # Multi-frame device-side tracking (CompiledSLAM): scan the fused step
+    # over chunks of this many frames so a chunk costs ONE dispatch. Host
+    # decisions run at chunk boundaries on the stacked scalars; the
+    # reference block stales at most chunk_size-1 extra frames (the same
+    # staleness the deferred per-frame decision tolerates). 1 = per-frame.
+    chunk_size: int = 1
     # Depth-aware tracking (stereo disparity / RGB-D depth residual in PnP —
     # the second modality constrains pose every frame, not only at keyframes)
     use_depth_residual: bool = True
@@ -126,6 +132,12 @@ class OptimizationConfig:
     window_size: int = 8  # keyframes per local BA window (padded bucket)
     max_points: int = 4096  # landmark capacity per window (padded bucket)
     lm_lambda0: float = 1e-3
+    # Shape-bucket floors. Every distinct (pose, landmark) bucket is a fresh
+    # XLA compile (7-55 s on the remote-relay stack, profiled inside the
+    # round-2 bench's timed window); floors high enough that a typical run
+    # stays in ONE bucket turn those compiles into a single warmup cost.
+    pose_bucket_floor: int = 16
+    point_bucket_floor: int = 1024
     ba_every_n_keyframes: int = 1  # throttle the BA handler trigger
     log_reprojection_error: bool = True  # host-side metric around each BA
     # Run full-map BA while the map is at most this many keyframes (the
@@ -139,6 +151,12 @@ class LoopClosingConfig:
     """(reference config.py:52-53 — empty placeholder)"""
 
     enabled: bool = False
+    # O(1) place recognition: shortlist candidates by compact global
+    # signature (loop_closing/signature.py) before batched geometric
+    # verification. use_signature=False restores brute-force scoring of
+    # every old keyframe (the round-2 behavior; useful for recall A/Bs).
+    use_signature: bool = True
+    shortlist_size: int = 8
 
 
 @dataclass

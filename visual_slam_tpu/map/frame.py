@@ -116,6 +116,12 @@ class Frame(FrameBase):
         self.images = images or []
         self.images_gray = images_gray or []
         self.features: List[Features] = features or []
+        # Host-materialized views of the (immutable) feature block: frames
+        # may carry device arrays, and np.asarray on one is a full
+        # device->host round trip on remote-attached devices — BA packing
+        # reads keypoints of every window keyframe at every boundary, so the
+        # fetch must happen once per frame, not once per read.
+        self._np_cache: dict = {}
         self.depth = depth
         # Per-keypoint depth measurements for cam 0 (stereo disparity /
         # RGB-D lookup), slot-aligned with features[0]; None on mono frames.
@@ -143,15 +149,22 @@ class Frame(FrameBase):
     def image_right(self):
         return self.get_image(1)
 
+    def _np_view(self, key: str, cam_id: int, arr) -> np.ndarray:
+        c = self._np_cache.get((key, cam_id))
+        if c is None:
+            c = np.asarray(arr)
+            self._np_cache[(key, cam_id)] = c
+        return c
+
     def keypoints(self, cam_id: int = 0) -> np.ndarray:
         """(K, 2) pixel coords (padded slots included; see valid mask)."""
-        return np.asarray(self.features[cam_id].xy)
+        return self._np_view("xy", cam_id, self.features[cam_id].xy)
 
     def descriptors(self, cam_id: int = 0) -> np.ndarray:
-        return np.asarray(self.features[cam_id].desc)
+        return self._np_view("desc", cam_id, self.features[cam_id].desc)
 
     def valid_mask(self, cam_id: int = 0) -> np.ndarray:
-        return np.asarray(self.features[cam_id].valid)
+        return self._np_view("valid", cam_id, self.features[cam_id].valid)
 
     def num_features(self, cam_id: int = 0) -> int:
         return int(self.valid_mask(cam_id).sum()) if self.features else 0

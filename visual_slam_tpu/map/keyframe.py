@@ -49,6 +49,7 @@ class KeyFrame(Frame):
         kf.id = frame.id  # keep source frame id (see module docstring)
         kf.kp_z = frame.kp_z
         kf.kp_z_valid = frame.kp_z_valid
+        kf._np_cache = frame._np_cache  # shared immutable feature views
         with KeyFrame._kf_ids_lock:
             kf.keyframe_id = next(KeyFrame._kf_ids)
         kf.map_points = {}

@@ -41,6 +41,7 @@ from ..ops import triangulation as tri_ops
 from ..ops.projection import normalize_points
 from ..pipeline import (
     init_track_state,
+    make_track_chunk,
     make_track_step,
     set_local_map,
     swap_reference,
@@ -95,7 +96,19 @@ class CompiledSLAM:
         )
         self._track_state = None
         self._frames_since_kf = 0
-        self.poses: list[tuple[float, object]] = []  # (ts, T_w2c) device arrays
+        # Pose blocks: (timestamps tuple, T_w2c device array ((4,4) single
+        # frame or (C,4,4) chunk), ref keyframe, ref pose snapshot). Chunked
+        # tracking appends one block per chunk so recording a chunk costs
+        # zero extra dispatches.
+        self.poses: list[tuple[tuple, object, object, object]] = []
+        # Multi-frame chunking: scan the fused step over chunk_size frames
+        # per dispatch (pipeline.make_track_chunk). Host decisions move to
+        # chunk boundaries; per-dispatch relay latency amortizes 1/C.
+        self._chunk_size = max(1, int(tcfg.chunk_size))
+        self._chunk = (
+            make_track_chunk(self._step) if self._chunk_size > 1 else None
+        )
+        self._chunk_buf: list[tuple[object, float]] = []  # (img_dev, ts)
         # Previous frame's step output, deferred for the host decision:
         # (out, timestamp, ref_kf, arena) — ref/arena AT SUBMIT TIME, so a
         # promotion triggered by an older frame cannot misalign the indices.
@@ -129,6 +142,8 @@ class CompiledSLAM:
             return self._relocalize(imgs, timestamp)
         if self.state != State.OK:
             return self._bootstrap(imgs, timestamp, depth)
+        if self._chunk is not None:
+            return self._track_chunked(imgs, timestamp)
         return self._track_compiled(imgs, timestamp)
 
     def _img_arg(self, imgs):
@@ -137,15 +152,17 @@ class CompiledSLAM:
                 raise ValueError(
                     "stereo-configured CompiledSLAM needs [left, right] images"
                 )
-            return jnp.stack(
-                [jnp.asarray(imgs[0], jnp.float32), jnp.asarray(imgs[1], jnp.float32)]
-            )
-        return jnp.asarray(imgs[0], jnp.float32)
+            return jnp.stack([jnp.asarray(imgs[0]), jnp.asarray(imgs[1])])
+        # Dtype is preserved (uint8 uploads 4x less than f32; the detector
+        # casts on device). Keep one dtype across a run — each is a compile.
+        return jnp.asarray(imgs[0])
 
     def flush(self) -> dict:
         """Apply the deferred decision for the last submitted frame (call at
         sequence end so the final keyframe/LOST decision is not dropped)."""
         info = {}
+        if self._chunk_buf:
+            info = self._run_chunk()
         if self._pending is not None:
             pending, self._pending = self._pending, None
             info = self._decide(*pending)
@@ -163,30 +180,37 @@ class CompiledSLAM:
         relative-trajectory recovery)."""
         if not self.poses:
             return np.zeros(0), np.zeros((0, 4, 4))
-        ts = np.asarray([p[0] for p in self.poses])
-        Ts = np.asarray(jnp.stack([p[1] for p in self.poses]), np.float64)
+        ts = np.asarray([t for blk in self.poses for t in blk[0]])
+        parts = [T if T.ndim == 3 else T[None] for (_, T, _, _) in self.poses]
+        Ts = np.asarray(jnp.concatenate(parts, axis=0), np.float64)
         out = np.empty_like(Ts)
-        for i, (_, _, ref_kf, T_ref_snap) in enumerate(self.poses):
+        i = 0
+        for (ts_blk, _, ref_kf, T_ref_snap) in self.poses:
+            n = len(ts_blk)
             if ref_kf is None:
-                out[i] = Ts[i]
+                out[i : i + n] = Ts[i : i + n]
             else:
-                T_rel = Ts[i] @ np.linalg.inv(T_ref_snap)
-                out[i] = T_rel @ ref_kf.T_w2c
+                T_rel = Ts[i : i + n] @ np.linalg.inv(T_ref_snap)[None]
+                out[i : i + n] = T_rel @ ref_kf.T_w2c[None]
+            i += n
         return ts, out
 
     def shutdown(self) -> None:
         self.flush()
         self.logger.info(
             "shutdown: %d keyframes, %d landmarks, %d frame poses",
-            self.map.num_keyframes(), self.map.num_map_points(), len(self.poses),
+            self.map.num_keyframes(), self.map.num_map_points(), self.num_frames_tracked(),
         )
+
+    def num_frames_tracked(self) -> int:
+        return sum(len(blk[0]) for blk in self.poses)
 
     def metrics(self) -> dict:
         return {
             "state": self.state.name,
             "num_keyframes": self.map.num_keyframes(),
             "num_map_points": self.map.num_map_points(),
-            "num_frames": len(self.poses),
+            "num_frames": self.num_frames_tracked(),
         }
 
     def save(self, path) -> None:
@@ -231,7 +255,7 @@ class CompiledSLAM:
         if traj.exists():
             z = np.load(traj)
             for t, T in zip(z["ts"], z["T_w2c"]):
-                slam.poses.append((float(t), jnp.asarray(T, jnp.float32), None, None))
+                slam.poses.append(((float(t),), jnp.asarray(T, jnp.float32), None, None))
         return slam
 
     # ----------------------------------------------------------- bootstrap
@@ -242,7 +266,7 @@ class CompiledSLAM:
             kf = self.map.get_last_keyframe()
             self._install_reference(kf, T_init=kf.T_w2c)
             self.poses.append(
-                (timestamp, jnp.asarray(kf.T_w2c, jnp.float32), kf, kf.T_w2c.copy())
+                ((timestamp,), jnp.asarray(kf.T_w2c, jnp.float32), kf, kf.T_w2c.copy())
             )
         return {"state": self.state.name}
 
@@ -261,7 +285,7 @@ class CompiledSLAM:
             if n_inl >= tcfg.min_inliers:
                 self.state = State.OK
                 T = np.asarray(out.T_w2c, np.float64)
-                self.poses.append((timestamp, out.T_w2c, kf, kf.T_w2c.copy()))
+                self.poses.append(((timestamp,), out.T_w2c, kf, kf.T_w2c.copy()))
                 self._pending = None
                 # Extend the map immediately: the relocalized frame becomes a
                 # keyframe so subsequent frames track fresh geometry instead
@@ -278,8 +302,13 @@ class CompiledSLAM:
         return {"state": self.state.name, "relocalized": False}
 
     def _install_reference(self, kf: KeyFrame, T_init: np.ndarray) -> None:
+        import jax
+
         pos, mask = kf.point_arrays(0)
-        feats = kf.get_features(0)
+        # Upload the reference block ONCE: keyframes store host-materialized
+        # features (see _promote_keyframe), and numpy leaves left in the
+        # track-state pytree would re-upload on every dispatch.
+        feats = jax.tree.map(jnp.asarray, kf.get_features(0))
         if self._track_state is None:
             self._track_state = init_track_state(
                 feats, pos, mask, T_init, local_map_size=self._arena_size
@@ -320,7 +349,7 @@ class CompiledSLAM:
     def _track_compiled(self, imgs, timestamp) -> dict:
         self._track_state, out = self._step(self._track_state, self._img_arg(imgs))
         self.poses.append(
-            (timestamp, out.T_w2c, self._ref_kf, self._ref_kf.T_w2c.copy())
+            ((timestamp,), out.T_w2c, self._ref_kf, self._ref_kf.T_w2c.copy())
         )
         self._frames_since_kf += 1
         info = {"state": self.state.name}
@@ -338,6 +367,87 @@ class CompiledSLAM:
         )
         if pending is not None:
             info.update(self._decide(*pending))
+        return info
+
+    def _track_chunked(self, imgs, timestamp: float) -> dict:
+        """Buffer frames; every chunk_size-th frame runs the whole chunk in
+        ONE device dispatch (lax.scan over the fused step)."""
+        self._chunk_buf.append((self._img_arg(imgs), timestamp))
+        if len(self._chunk_buf) < self._chunk_size:
+            return {"state": self.state.name, "buffered": len(self._chunk_buf)}
+        return self._run_chunk()
+
+    def _run_chunk(self) -> dict:
+        import jax
+
+        buf, self._chunk_buf = self._chunk_buf, []
+        n = len(buf)
+        imgs = [im for im, _ in buf]
+        while len(imgs) < self._chunk_size:  # flush pads; padded outs ignored
+            imgs.append(imgs[-1])
+        ref_kf, arena = self._ref_kf, self._lm_arena
+        T_ref_snap = ref_kf.T_w2c.copy()
+        self._track_state, outs = self._chunk(self._track_state, jnp.stack(imgs))
+        ts_tuple = tuple(t for _, t in buf)
+        T_block = outs.T_w2c if n == self._chunk_size else outs.T_w2c[:n]
+        self.poses.append((ts_tuple, T_block, ref_kf, T_ref_snap))
+        self._frames_since_kf += n
+
+        # ONE sync per chunk: fetch the ENTIRE stacked output (a couple MB)
+        # in one round trip. Every round trip to a remote-attached device is
+        # ~40 ms regardless of payload (measured), so the decision scalars,
+        # the promotion frame's features/matches, and the brute-recovery
+        # fallback all read from this single host copy.
+        outs = jax.device_get(outs)
+        n_inl_all = np.asarray(outs.n_inliers)[:n]
+        T_all = np.asarray(outs.T_w2c)
+        tcfg = self.config.tracking
+        last = n - 1
+        info = {
+            "state": self.state.name,
+            "n_inliers": int(n_inl_all[last]),
+            "chunk_frames": n,
+        }
+        # Keyframe trigger, evaluated BEFORE the lost check: promotion picks
+        # the LATEST healthy frame of the chunk, so a mid-chunk inlier cliff
+        # (reference gone stale) is answered with a fresh reference instead
+        # of LOST — the chunk-mode analogue of the per-frame path promoting
+        # the still-healthy pending frame when the newest is about to die.
+        healthy = n_inl_all >= tcfg.min_inliers
+        T_last = np.asarray(T_all[last], np.float64)
+        rot_deg = trans = 0.0
+        if ref_kf is not None:
+            R_rel = T_last[:3, :3] @ ref_kf.R_w2c.T
+            c = np.clip((np.trace(R_rel) - 1.0) / 2.0, -1.0, 1.0)
+            rot_deg = float(np.degrees(np.arccos(c)))
+            C_last = -T_last[:3, :3].T @ T_last[:3, 3]
+            trans = float(np.linalg.norm(C_last - ref_kf.camera_center))
+        trigger = (
+            self._frames_since_kf > tcfg.keyframe_interval
+            or int(n_inl_all.min()) < tcfg.kf_min_matches
+            or rot_deg > tcfg.kf_min_rotation_deg
+            or trans > tcfg.kf_min_translation
+        )
+        if trigger and healthy.any():
+            j_star = int(np.nonzero(healthy)[0][-1])
+            out_j = jax.tree.map(lambda a: a[j_star], outs)
+            self._promote_keyframe(out_j, ts_tuple[j_star], ref_kf, arena)
+            # Frames after j_star stay tracked against the old reference;
+            # they count toward the next interval.
+            self._frames_since_kf = last - j_star
+            info["new_keyframe"] = True
+            return info
+        if not healthy[last]:
+            out_last = jax.tree.map(lambda a: a[last], outs)
+            rec = self._brute_recover(out_last, ts_tuple[-1])
+            if rec is not None:
+                info.update(rec)
+                return info
+            self.state = State.LOST
+            info["state"] = self.state.name
+            self.logger.warning(
+                "compiled tracking lost (chunk, %d inliers)", int(n_inl_all[last])
+            )
         return info
 
     def _decide(self, out, timestamp, ref_kf, arena) -> dict:
@@ -407,7 +517,7 @@ class CompiledSLAM:
         from ..ops.pnp import ransac_pnp
 
         tcfg = self.config.tracking
-        feats = out.features
+        feats = jax.device_get(out.features)  # host-materialized once
         Kslots = feats.xy.shape[0]
         best_dist = np.full(Kslots, np.inf, np.float32)
         pts3d = np.zeros((Kslots, 3), np.float32)
@@ -477,20 +587,23 @@ class CompiledSLAM:
         """Keyframe boundary: all data comes from the track step's outputs —
         no re-detection, no extra matching. ``ref``/``arena`` are the blocks
         that were installed when this frame's step ran."""
-        T = np.asarray(out.T_w2c, np.float64)
-        frame = Frame(features=[out.features], timestamp=timestamp)
+        import jax
+
+        # ONE batched device->host fetch for everything the boundary needs
+        # (separate np.asarray calls each cost a full round trip on
+        # remote-attached devices). The features block is materialized to
+        # host here so every later consumer (BA packing, matching against
+        # this keyframe, serialization) reads host memory for free.
+        T, feats, ti, m_ok, inl, g_idx, g_ok = jax.device_get((
+            out.T_w2c, out.features, out.match_train_idx, out.match_valid,
+            out.pnp_inliers, out.guided_idx, out.guided_valid,
+        ))
+        T = np.asarray(T, np.float64)
+        frame = Frame(features=[feats], timestamp=timestamp)
         frame.update_pose(T)
         kf = KeyFrame.from_frame(frame)
-
-        ti = np.asarray(out.match_train_idx)
-        m_ok = np.asarray(out.match_valid)
-        inl = np.asarray(out.pnp_inliers)
-        g_idx = np.asarray(out.guided_idx) if out.guided_idx is not None else None
-        g_ok = (
-            np.asarray(out.guided_valid)
-            if out.guided_valid is not None
-            else np.zeros_like(m_ok)
-        )
+        if g_ok is None:
+            g_ok = np.zeros_like(m_ok)
 
         # Inherit landmarks. Guided association wins (it is what PnP used):
         # current kp i <- arena row g_idx[i]. Reference-block association
@@ -567,16 +680,20 @@ class CompiledSLAM:
         self._install_reference(kf, T_init=T_new)
 
     def _create_stereo_points(self, kf: KeyFrame, out) -> int:
+        import jax
+
         lcfg = self.config.local_mapping
-        z = np.asarray(out.kp_z)
+        feats = kf.get_features(0)
+        z, z_ok = jax.device_get((out.kp_z, out.kp_z_valid))  # one fetch
+        z = np.asarray(z)
         ok = (
-            np.asarray(out.kp_z_valid)
-            & np.asarray(out.features.valid)
+            np.asarray(z_ok)
+            & np.asarray(feats.valid)
             & (z > lcfg.min_depth) & (z < lcfg.max_depth)
         )
         kf.kp_z, kf.kp_z_valid = z, ok
-        xy = np.asarray(out.features.xy)
-        desc = np.asarray(out.features.desc)
+        xy = np.asarray(feats.xy)
+        desc = np.asarray(feats.desc)
         from ..ops.stereo import backproject_np
 
         p_w = backproject_np(self.camera.Kinv, kf.R_c2w, kf.t_c2w, xy, z)
@@ -590,38 +707,28 @@ class CompiledSLAM:
         return created
 
     def _triangulate(self, kf: KeyFrame, ref: KeyFrame, ti, tri_mask, out) -> int:
+        import jax
+
         lcfg = self.config.local_mapping
-        Kinv = jnp.asarray(self.camera.Kinv, jnp.float32)
-        x_cur = normalize_points(Kinv, out.features.xy)
-        x_ref = normalize_points(Kinv, ref.get_features(0).xy[jnp.asarray(ti)])
-        T_cur = jnp.asarray(kf.T_w2c, jnp.float32)
-        T_ref = jnp.asarray(ref.T_w2c, jnp.float32)
-        pts3d, w_ok = tri_ops.triangulate_dlt(
-            tri_ops.projection_from_T(T_ref), tri_ops.projection_from_T(T_cur),
-            x_ref, x_cur,
-        )
-        good = w_ok & tri_ops.depth_mask(T_ref, T_cur, pts3d, lcfg.min_depth, lcfg.max_depth)
-        par = tri_ops.parallax_angles(T_ref, T_cur, pts3d)
-        good &= par >= jnp.deg2rad(lcfg.min_parallax_deg)
-        # Reprojection gate: descriptor matches that pass ratio/cross-check
-        # but are geometrically wrong (aliasing under fast yaw) triangulate
-        # to points that re-project badly in their OWN two views; without
-        # this gate they enter the map, BA faithfully fits them, and
-        # downstream PnP loses consistency (observed: map went unusable in
-        # ~10 keyframes on a 6 deg/frame ring, while the gated host mapping
-        # path survived).
         thresh_n = self.config.tracking.pnp_threshold_px / float(self.camera.fx)
-
-        def reproj_err2(T, x_obs):
-            pc = pts3d @ T[:3, :3].T + T[:3, 3]
-            z = jnp.where(jnp.abs(pc[:, 2]) < 1e-9, 1e-9, pc[:, 2])
-            return jnp.sum((pc[:, :2] / z[:, None] - x_obs) ** 2, axis=-1)
-
-        good &= reproj_err2(T_ref, x_ref) < thresh_n * thresh_n
-        good &= reproj_err2(T_cur, x_cur) < thresh_n * thresh_n
-        good_np = np.asarray(good) & tri_mask
-        pts_np = np.asarray(pts3d)
-        desc_np = np.asarray(out.features.desc)
+        # One fused program (ops.triangulation.triangulate_gated) + one
+        # batched fetch per boundary — eager op-by-op math here cost
+        # 300-700 ms/keyframe through the relay dispatch path.
+        pts3d, good = tri_ops.triangulate_gated(
+            jnp.asarray(self.camera.Kinv, jnp.float32),
+            jnp.asarray(ref.T_w2c, jnp.float32),
+            jnp.asarray(kf.T_w2c, jnp.float32),
+            np.asarray(ref.get_features(0).xy)[np.asarray(ti)],
+            np.asarray(kf.get_features(0).xy),
+            np.float32(lcfg.min_depth),
+            np.float32(lcfg.max_depth),
+            np.float32(np.deg2rad(lcfg.min_parallax_deg)),
+            np.float32(thresh_n),
+        )
+        good_np, pts_np = jax.device_get((good, pts3d))  # one batched fetch
+        good_np = np.asarray(good_np) & tri_mask
+        pts_np = np.asarray(pts_np)
+        desc_np = np.asarray(kf.get_features(0).desc)
         created = 0
         for i in np.nonzero(good_np)[0]:
             mp = MapPoint(pts_np[i], descriptor=desc_np[i])

@@ -10,11 +10,61 @@ arrays, so the whole chain compiles once and runs on the VPU.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .lie import inv_T
 
 _EPS = 1e-9
+
+
+@jax.jit
+def triangulate_gated(
+    Kinv: jnp.ndarray,
+    T_ref: jnp.ndarray,
+    T_cur: jnp.ndarray,
+    xy_ref: jnp.ndarray,
+    xy_cur: jnp.ndarray,
+    min_depth: jnp.ndarray,
+    max_depth: jnp.ndarray,
+    min_parallax_rad: jnp.ndarray,
+    reproj_thresh_n: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Full keyframe-boundary triangulation chain in ONE program: pixel ->
+    normalized coords, DLT, depth/parallax gates, and a two-view
+    reprojection gate. Thresholds ride as traced scalars so one compile
+    serves every config.
+
+    The reprojection gate kills descriptor matches that pass ratio/cross-
+    check but are geometrically wrong (aliasing under fast yaw): they
+    triangulate to points that re-project badly in their OWN two views;
+    ungated they enter the map, BA faithfully fits them, and PnP loses
+    consistency (observed: map unusable in ~10 keyframes on a 6 deg/frame
+    ring while the gated path survived).
+
+    Replaces the previous eager op-by-op boundary math, which cost
+    300-700 ms/keyframe through the remote-relay dispatch path (profiled;
+    the identical fused program is ~3 ms).
+    """
+    from .projection import normalize_points
+
+    x_ref = normalize_points(Kinv, xy_ref)
+    x_cur = normalize_points(Kinv, xy_cur)
+    pts3d, w_ok = triangulate_dlt(
+        projection_from_T(T_ref), projection_from_T(T_cur), x_ref, x_cur
+    )
+    good = w_ok & depth_mask(T_ref, T_cur, pts3d, min_depth, max_depth)
+    good &= parallax_angles(T_ref, T_cur, pts3d) >= min_parallax_rad
+
+    def reproj_err2(T, x_obs):
+        pc = pts3d @ T[:3, :3].T + T[:3, 3]
+        z = jnp.where(jnp.abs(pc[:, 2]) < _EPS, _EPS, pc[:, 2])
+        return jnp.sum((pc[:, :2] / z[:, None] - x_obs) ** 2, axis=-1)
+
+    t2 = reproj_thresh_n * reproj_thresh_n
+    good &= reproj_err2(T_ref, x_ref) < t2
+    good &= reproj_err2(T_cur, x_cur) < t2
+    return pts3d, good
 
 
 def projection_from_T(T_w2c: jnp.ndarray) -> jnp.ndarray:

@@ -242,6 +242,40 @@ def make_track_step(
     return track_step
 
 
+def make_track_chunk(track_step):
+    """Multi-frame device-side tracking: ``lax.scan`` the fused step over a
+    (C, ...) image chunk so C frames cost ONE dispatch. On relay-attached
+    devices (the deployment topology here) per-dispatch latency dominates the
+    per-frame budget; chunking amortizes it C-fold. Host decisions (keyframe
+    promotion, LOST) read the chunk's STACKED scalars in a single fetch at
+    the chunk boundary — the reference block stays fixed within a chunk,
+    which is the same staleness the deferred per-frame decision already
+    tolerates (models/compiled_slam.py).
+
+    ``track_step`` is the function returned by :func:`make_track_step`; the
+    chunk reuses its jitted body so mono/stereo/local-map variants compose
+    unchanged. Returns ``chunk(state, imgs (C, ...)) -> (state, outs)`` with
+    every TrackOutput leaf stacked along a leading C axis.
+    """
+    inner = track_step.jitted
+
+    @jax.jit
+    def _chunk(state: TrackState, imgs: jnp.ndarray, sampling: jnp.ndarray):
+        def body(s, img):
+            s, out = inner(s, img, sampling)
+            return s, out
+
+        return jax.lax.scan(body, state, imgs)
+
+    def chunk(state: TrackState, imgs: jnp.ndarray):
+        from .ops import orb as orb_ops
+
+        return _chunk(state, imgs, orb_ops.sampling_matrix())
+
+    chunk.jitted = _chunk
+    return chunk
+
+
 def make_frame_step(
     K: jnp.ndarray,
     width: float,
