@@ -95,13 +95,12 @@ def test_threaded_mode_e2e():
     same sequence as the synchronous e2e, must survive concurrent map
     mutation (coarse Map lock + pure jitted compute) and shut down cleanly.
 
-    The ATE gate is LOOSER than the synchronous mode's: async BA re-imposes
-    the mono scale gauge while the tracking thread is mid-frame, so a
-    keyframe can be promoted with a pose solved against pre-renormalization
-    landmarks (observed as transient reprojection spikes that later BA
-    passes absorb). Timing-dependent and inherent to the reference's
-    async-BA architecture — the deterministic synchronous default does not
-    have it, which is exactly why it is the default."""
+    The async gauge-mixing race of round 2 is CURED by the versioned mono
+    gauge (Map.gauge_version): every landmark gather snapshots the gauge
+    version, in-flight poses are converted through the accumulated
+    similarity before promotion, and queued keyframes/mapping triangulation
+    catch up under the map lock. The ATE gate is 2x the synchronous gate
+    (residual thread-timing nondeterminism only, no gauge mixing)."""
     rng = np.random.default_rng(42)
     frames, Ts_gt, K, world = render_sequence(rng, n_frames=12, step=0.35)
     cam = PinholeCamera(width=frames[0].shape[1], height=frames[0].shape[0], K=K)
@@ -121,7 +120,7 @@ def test_threaded_mode_e2e():
     idx = [int(round(kf.timestamp / 0.1)) for kf in kfs]
     gt = np.stack([-Ts_gt[i][:3, :3].T @ Ts_gt[i][:3, 3] for i in idx])
     res = ate_rmse(est, gt, align_scale=True)
-    assert res["rmse"] < 1.0, res  # sync mode: ~0.1; async gauge mixing adds noise
+    assert res["rmse"] < 0.5, res  # 2x the sync gate (test_trajectory_ate)
 
 
 def test_run_to_run_determinism():

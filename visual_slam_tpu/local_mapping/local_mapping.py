@@ -104,15 +104,33 @@ class LocalMapping:
 
     # -- the work (reference local_mapping.py:96-133) ----------------------
     def process_keyframe(self, kf: KeyFrame) -> dict:
-        stats = self.handler.process_keyframe(kf)
-        self.map.add_keyframe(kf)
-        self.update_covisibility(kf)
-        self.cull_bad_points()
-        mcfg = self.config.map
-        if mcfg.cull_redundant_keyframes:
-            stats["kf_culled"] = self.cull_redundant_keyframes(protect=kf)
-        if mcfg.max_landmarks > 0:
-            stats["lm_evicted"] = self.enforce_landmark_budget(mcfg.max_landmarks)
+        # Under the map lock in threaded mode: the async BA thread holds the
+        # same lock across its solve + gauge renormalization, so new
+        # landmarks cannot be triangulated from poses of one gauge into a
+        # map of another (the round-2 gauge-mixing race, now cured at every
+        # producer — see Map.gauge_version).
+        with self.map._lock:
+            # A queued keyframe's pose may be one gauge behind (a renorm
+            # landed while it waited); convert it before triangulating
+            # against current-gauge neighbors.
+            v = getattr(kf, "gauge_version", None)
+            if v is not None and v != self.map.gauge_version:
+                import numpy as np
+
+                s_g, b_g = self.map.gauge_since(v)
+                R = kf.R_w2c
+                C = s_g * kf.t_c2w + b_g
+                kf.set_pose_Rt(R, -R @ C)
+                kf.gauge_version = self.map.gauge_version
+            stats = self.handler.process_keyframe(kf)
+            self.map.add_keyframe(kf)
+            self.update_covisibility(kf)
+            self.cull_bad_points()
+            mcfg = self.config.map
+            if mcfg.cull_redundant_keyframes:
+                stats["kf_culled"] = self.cull_redundant_keyframes(protect=kf)
+            if mcfg.max_landmarks > 0:
+                stats["lm_evicted"] = self.enforce_landmark_budget(mcfg.max_landmarks)
         return stats
 
     def update_covisibility(self, kf: KeyFrame) -> None:

@@ -29,6 +29,16 @@ class Map:
         # deterministic — a set here would make BA packing order depend on
         # object addresses and results vary run to run.
         self._points: Dict[int, MapPoint] = {}
+        # Versioned mono-gauge log. Every global BA re-imposes the mono
+        # scale gauge with a similarity x -> s*x + b applied to all keyframe
+        # centers and landmarks (backend/optimizer._reimpose_mono_gauge).
+        # In threaded mode that lands asynchronously: a tracking thread that
+        # solved a pose against pre-renormalization landmarks must convert
+        # it through the same similarity before writing it into the map —
+        # readers snapshot gauge_version with their landmark gather and
+        # catch up via gauge_since() (cures the round-2 "tolerated" race,
+        # tests/test_slam_e2e.py::test_threaded_mode_e2e).
+        self._gauge_log: List[tuple] = []  # (s, b): x -> s * x + b
 
     # -- frames ------------------------------------------------------------
     def add_frame(self, frame: Frame) -> None:
@@ -176,7 +186,32 @@ class Map:
         return optimizer.optimize_local(kfs, list(points.values()), fixed_keyframes=anchors)
 
     def optimize_global(self, optimizer) -> dict:
-        return optimizer.optimize_global(self.get_keyframes(), self.get_map_points())
+        res = optimizer.optimize_global(self.get_keyframes(), self.get_map_points())
+        g = res.get("gauge_transform") if isinstance(res, dict) else None
+        if g is not None:
+            self.record_gauge_transform(*g)
+        return res
+
+    # -- versioned mono gauge (see __init__ notes) -------------------------
+    @property
+    def gauge_version(self) -> int:
+        return len(self._gauge_log)
+
+    def record_gauge_transform(self, s: float, b) -> None:
+        """Append a similarity x -> s*x + b that was just applied to every
+        keyframe center and landmark. Called under the optimize lock, AFTER
+        the writeback, so version-then-data reads can detect torn gathers."""
+        with self._lock:
+            self._gauge_log.append((float(s), np.asarray(b, np.float64).reshape(3)))
+
+    def gauge_since(self, version: int) -> tuple:
+        """Compose every gauge similarity applied after ``version`` into one
+        (s, b). Identity when nothing happened."""
+        with self._lock:
+            s, b = 1.0, np.zeros(3)
+            for si, bi in self._gauge_log[version:]:
+                s, b = si * s, si * b + bi
+            return s, b
 
     # -- lifecycle ---------------------------------------------------------
     def reset(self) -> None:
@@ -185,3 +220,4 @@ class Map:
             self._keyframes.clear()
             self._kf_by_id.clear()
             self._points.clear()
+            self._gauge_log.clear()

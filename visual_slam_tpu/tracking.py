@@ -66,6 +66,11 @@ class Tracking:
         self.last_keyframe_frame_id = -1
         self._key = jax.random.PRNGKey(13)
         self.last_track_info: dict = {}
+        # Mono-gauge versioning (threaded mode): the map gauge the carried
+        # state (last_frame pose, motion model) is expressed in, and the
+        # gauge of the latest landmark gather. See Map.gauge_version.
+        self._gauge_seen = 0
+        self._gather_gauge_version = 0
         from .trackingalgorithm import FusedMonoTracking, MonoTracking
 
         # Pluggable strategy (trackingalgorithm/).
@@ -139,6 +144,10 @@ class Tracking:
         self.reference_keyframe = kf_ref
         frame, info = self.algorithm.process(self, images, timestamp, depth)
         match_res = info.pop("match_res", None)
+        # Async global BA may have renormalized the map gauge mid-frame:
+        # convert the just-solved pose (and carried state) before any
+        # decision or promotion reads it.
+        self._catch_up_gauge(frame)
 
         good = self._is_tracking_good(info)
         info["tracking_good"] = good
@@ -232,6 +241,55 @@ class Tracking:
         if self.last_frame is not None:
             frame.update_pose(self.motion_model @ self.last_frame.T_w2c)
 
+    # -- mono-gauge catch-up (threaded-mode race cure) ----------------------
+    def _consistent_gather(self, fn):
+        """Run a landmark gather with a consistent gauge snapshot: the async
+        global-BA thread rescales every landmark and bumps the map gauge
+        version under the map lock, so version-before == version-after
+        proves the gather saw one gauge. On a torn read, retry; as a last
+        resort take the map lock (blocks the BA thread's writeback).
+        Records the snapshot version for the end-of-frame catch-up."""
+        for _ in range(3):
+            v0 = self.map.gauge_version
+            out = fn()
+            if self.map.gauge_version == v0:
+                self._gather_gauge_version = v0
+                return out
+        with self.map._lock:
+            self._gather_gauge_version = self.map.gauge_version
+            return fn()
+
+    @staticmethod
+    def _apply_similarity_to_pose(frame, s: float, b: np.ndarray) -> None:
+        """Convert a pose solved in an old gauge into the current one: the
+        similarity x -> s*x + b moves the camera center, rotation unchanged
+        (reprojection-invariant, backend/optimizer._reimpose_mono_gauge)."""
+        R = frame.R_w2c
+        C = s * frame.t_c2w + b
+        frame.set_pose_Rt(R, -R @ C)
+
+    def _catch_up_gauge(self, frame: Frame | None) -> None:
+        """Bring the in-flight frame pose (solved against landmarks gathered
+        at _gather_gauge_version) and the carried tracking state (last_frame
+        pose, motion-model translation) up to the map's current gauge. In
+        synchronous mode this is a no-op (versions never diverge mid-frame).
+        Cures the round-2 'tolerated' race: a keyframe promoted with a
+        pre-renormalization-scale pose mixed gauges in the map."""
+        v_now = self.map.gauge_version
+        if frame is not None and self._gather_gauge_version != v_now:
+            s, b = self.map.gauge_since(self._gather_gauge_version)
+            self._apply_similarity_to_pose(frame, s, b)
+        if self._gauge_seen != v_now:
+            s, b = self.map.gauge_since(self._gauge_seen)
+            if self.last_frame is not None and self.last_frame is not frame:
+                self._apply_similarity_to_pose(self.last_frame, s, b)
+            # Relative translation between same-gauge poses scales by s (the
+            # center offset b cancels in the difference).
+            self.motion_model = self.motion_model.copy()
+            self.motion_model[:3, 3] *= s
+        self._gauge_seen = v_now
+        self._gather_gauge_version = v_now
+
     def _track_reference_keyframe(self, frame: Frame, kf_ref: KeyFrame):
         """Match current frame to the reference KF and gather 3D-2D pairs
         (reference _track_local_map_mono, tracking.py:259-330 — the Python
@@ -239,7 +297,7 @@ class Tracking:
         if kf_ref is None:
             return None, None, None, np.zeros(0, bool)
         res = self.tracker.match(frame.get_features(0), kf_ref.get_features(0))
-        ref_pos, ref_mask = kf_ref.point_arrays(0)
+        ref_pos, ref_mask = self._consistent_gather(lambda: kf_ref.point_arrays(0))
         ti = np.asarray(res.train_idx)
         pair_valid = np.asarray(res.valid) & ref_mask[ti]
         pts3d = ref_pos[ti]
@@ -254,20 +312,24 @@ class Tracking:
         truncate)."""
         if cap is None:
             cap = max(2048, 2 * self.config.feature.num_features)
-        mps = {}
-        for kf in self.map.get_keyframes()[-n_keyframes:]:
-            for mp in list(kf.map_points.values()):
-                if not mp.is_bad and mp.descriptor is not None:
-                    mps[mp.id] = mp
-        pos = np.zeros((cap, 3), np.float32)
-        desc = np.zeros((cap, 8), np.uint32)
-        valid = np.zeros(cap, bool)
-        sel = list(mps.values())[:cap]
-        for i, mp in enumerate(sel):
-            pos[i] = mp.position
-            desc[i] = mp.descriptor
-            valid[i] = True
-        return pos, desc, valid, sel
+
+        def gather():
+            mps = {}
+            for kf in self.map.get_keyframes()[-n_keyframes:]:
+                for mp in list(kf.map_points.values()):
+                    if not mp.is_bad and mp.descriptor is not None:
+                        mps[mp.id] = mp
+            pos = np.zeros((cap, 3), np.float32)
+            desc = np.zeros((cap, 8), np.uint32)
+            valid = np.zeros(cap, bool)
+            sel = list(mps.values())[:cap]
+            for i, mp in enumerate(sel):
+                pos[i] = mp.position
+                desc[i] = mp.descriptor
+                valid[i] = True
+            return pos, desc, valid, sel
+
+        return self._consistent_gather(gather)
 
     def _track_guided(self, frame: Frame, n_keyframes: int = 3, radius_px: float = 25.0):
         """Projection-guided local-map association (ops/guided_matching.py):
@@ -306,22 +368,27 @@ class Tracking:
             return None, None, None, np.zeros(0, bool)
         feats_cur = frame.get_features(0)
         Kslots = feats_cur.xy.shape[0]
-        best_dist = np.full(Kslots, np.inf, np.float32)
-        pts3d = np.zeros((Kslots, 3), np.float32)
-        pair_valid = np.zeros(Kslots, bool)
-        res_last = None
-        for kf in reversed(kfs):  # newest first
-            res = self.tracker.match(feats_cur, kf.get_features(0))
-            if res_last is None:
-                res_last = res
-            ref_pos, ref_mask = kf.point_arrays(0)
-            ti = np.asarray(res.train_idx)
-            ok = np.asarray(res.valid) & ref_mask[ti]
-            dist = np.asarray(res.distance)
-            take = ok & (dist < best_dist)
-            best_dist[take] = dist[take]
-            pts3d[take] = ref_pos[ti[take]]
-            pair_valid |= take
+
+        def gather():
+            best_dist = np.full(Kslots, np.inf, np.float32)
+            pts3d = np.zeros((Kslots, 3), np.float32)
+            pair_valid = np.zeros(Kslots, bool)
+            res_last = None
+            for kf in reversed(kfs):  # newest first
+                res = self.tracker.match(feats_cur, kf.get_features(0))
+                if res_last is None:
+                    res_last = res
+                ref_pos, ref_mask = kf.point_arrays(0)
+                ti = np.asarray(res.train_idx)
+                ok = np.asarray(res.valid) & ref_mask[ti]
+                dist = np.asarray(res.distance)
+                take = ok & (dist < best_dist)
+                best_dist[take] = dist[take]
+                pts3d[take] = ref_pos[ti[take]]
+                pair_valid |= take
+            return res_last, pts3d, pair_valid
+
+        res_last, pts3d, pair_valid = self._consistent_gather(gather)
         xy_obs = np.asarray(feats_cur.xy)
         return res_last, pts3d, xy_obs, pair_valid
 
@@ -451,6 +518,9 @@ class Tracking:
         """Promote to keyframe, inherit tracked landmarks, hand to local
         mapping (reference tracking.py:582-585)."""
         kf = KeyFrame.from_frame(frame)
+        # Gauge stamp: the pose is current as of the catch-up this frame;
+        # the (threaded) mapping consumer re-checks before triangulating.
+        kf.gauge_version = self._gauge_seen
         pnp_inl = info.get("pnp_inliers")
         guided = info.get("guided")
         if guided is not None:
