@@ -40,6 +40,58 @@ class StereoCalibration:
     def baseline(self) -> float:
         return float(np.linalg.norm(self.T))
 
+    @property
+    def is_rectified(self) -> bool:
+        """True when the rig is already row-aligned (pure-x baseline,
+        identity rotation, no distortion) — KITTI-style input that can feed
+        the row-gated stereo matcher directly."""
+        t = np.ravel(self.T)
+        return (
+            bool(np.allclose(self.R, np.eye(3), atol=1e-6))
+            and bool(np.allclose(t[1:], 0.0, atol=1e-9 + 1e-6 * abs(t[0])))
+            and bool(np.allclose(self.left.D, 0.0))
+            and bool(np.allclose(self.right.D, 0.0))
+        )
+
+    def rectification(self) -> dict:
+        """R1/R2/P1/P2/Q + per-camera dense remap builders from the raw rig
+        (replaces cv2.stereoRectify + initUndistortRectifyMap, reference
+        calibration.py:87-136). See ops.rectify."""
+        from ..ops.rectify import stereo_rectify
+
+        return stereo_rectify(
+            self.left.K, self.left.D, self.right.K, self.right.D, self.R, self.T
+        )
+
+    def rectify_images(self, img_left, img_right, rect: dict | None = None):
+        """Dense path: resample both raw images into the rectified rig
+        (device bilinear remap). Returns (left', right', K_new, baseline) —
+        feed these to the standard rectified stereo pipeline."""
+        from ..ops.rectify import remap_bilinear, undistort_rectify_map
+
+        rect = rect or self.rectification()
+        H, W = np.asarray(img_left).shape[:2]
+        m1 = undistort_rectify_map(
+            np.asarray(self.left.K, np.float32),
+            np.asarray(self.left.D, np.float32),
+            np.asarray(rect["R1"], np.float32),
+            np.asarray(rect["K_new"], np.float32),
+            H, W,
+        )
+        m2 = undistort_rectify_map(
+            np.asarray(self.right.K, np.float32),
+            np.asarray(self.right.D, np.float32),
+            np.asarray(rect["R2"], np.float32),
+            np.asarray(rect["K_new"], np.float32),
+            H, W,
+        )
+        return (
+            remap_bilinear(np.asarray(img_left, np.float32), m1),
+            remap_bilinear(np.asarray(img_right, np.float32), m2),
+            rect["K_new"],
+            rect["baseline"],
+        )
+
 
 class UniversalCalibration:
     """Suffix-dispatching loader (reference calibration.py:139-170):
