@@ -107,3 +107,105 @@ def test_frontback_pipeline_two_stage():
         assert ninl[t] >= 15, ninl
         terr = np.linalg.norm(Tout[t][:3, 3] - Ts[t - 1][:3, 3])
         assert terr < 0.1, (t, terr)
+
+
+def test_pipelined_vo_family_tracks_rendered_sequence():
+    """PipelinedVO (VERDICT r2 #7): the deployable front/back pipeline
+    family must bootstrap, track a rendered sequence in chunks through the
+    2-stage pp mesh, promote keyframes with triangulation + BA, and land a
+    usable trajectory."""
+    import sys
+
+    from jax.sharding import Mesh
+
+    sys.path.insert(0, ".")
+    from render import render_sequence
+    from visual_slam_tpu.camera import PinholeCamera
+    from visual_slam_tpu.config import Config
+    from visual_slam_tpu.models import PipelinedVO
+    from visual_slam_tpu.utils.metrics import ate_rmse
+
+    rng = np.random.default_rng(42)
+    frames, Ts_gt, K, world = render_sequence(rng, n_frames=13, step=0.3)
+    cam = PinholeCamera(width=frames[0].shape[1], height=frames[0].shape[0], K=K)
+    cfg = Config()
+    cfg.feature.num_features = 384
+    cfg.feature.num_pyramid_levels = 2
+    cfg.feature.fast_threshold = 12.0
+    cfg.feature.grid_cells = 4
+    cfg.initialization.min_inliers = 40
+    cfg.initialization.min_parallax_deg = 0.5
+    cfg.tracking.keyframe_interval = 2
+    cfg.optimization.n_iter = 12
+    mesh = Mesh(np.array(jax.devices()[:2]), ("pp",))
+    vo = PipelinedVO(cam, mesh=mesh, config=cfg, num_features=384, chunk=3,
+                     n_levels=2, grid=4, fast_threshold=12.0)
+    for i, img in enumerate(frames):
+        vo.track([img], timestamp=i * 0.1)
+    vo.shutdown()
+    assert vo.state.name == "OK"
+    assert vo.map.num_keyframes() >= 4
+    ts, Ts = vo.trajectory()
+    assert len(ts) >= 10
+    idx = [int(round(t / 0.1)) for t in ts]
+    est = np.stack([-T[:3, :3].T @ T[:3, 3] for T in Ts])
+    gt = np.stack([-Ts_gt[i][:3, :3].T @ Ts_gt[i][:3, 3] for i in idx])
+    res = ate_rmse(est, gt, align_scale=True)
+    # The pp family trades per-frame robustness machinery (no guided arena,
+    # no brute recovery) for the 2-stage overlap; gate accordingly.
+    assert res["rmse"] < 0.7, res
+
+
+def test_frontback_pipeline_batched_sequences():
+    """seq x pp composition: two sequences ride the 2-stage pipeline
+    data-parallel (batch_axis); each sequence's solves must match its own
+    single-sequence pipeline run."""
+    from jax.sharding import Mesh
+
+    from visual_slam_tpu.ops.detector import detect_and_describe_with_sampling
+    from visual_slam_tpu.ops.orb import sampling_matrix
+    from visual_slam_tpu.parallel.frontback import make_frontback_pipeline
+
+    rng = np.random.default_rng(5)
+    H, W, f = 64, 80, 100.0
+    K = jnp.asarray([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1.0]], jnp.float32)
+    nfeat = 64
+    devs = np.array(jax.devices()[:4]).reshape(2, 2)
+    mesh = Mesh(devs, ("seq", "pp"))
+    samp = sampling_matrix()
+
+    def seq_inputs(seed):
+        r = np.random.default_rng(seed)
+        imgs = jnp.asarray(r.uniform(0, 255, (3, H, W)), jnp.float32)
+        feats = detect_and_describe_with_sampling(
+            imgs[0], samp, num_features=nfeat, threshold=10.0, n_levels=1, grid=2
+        )
+        z = r.uniform(4, 10, nfeat).astype(np.float32)
+        xy = np.asarray(feats.xy)
+        rays = np.concatenate([xy, np.ones((nfeat, 1), np.float32)], 1) @ np.asarray(
+            jnp.linalg.inv(K)
+        ).T
+        return imgs, feats, rays * z[:, None], np.asarray(feats.valid)
+
+    seqs = [seq_inputs(7), seq_inputs(8)]
+    batched = make_frontback_pipeline(
+        K, mesh, num_features=nfeat, fast_threshold=10.0, n_levels=1, grid=2,
+        batch_axis="seq",
+    )
+    frames_b = jnp.stack([s[0] for s in seqs])
+    feats_b = jax.tree.map(lambda *xs: jnp.stack(xs), *[s[1] for s in seqs])
+    lm_b = np.stack([s[2] for s in seqs])
+    has_b = np.stack([s[3] for s in seqs])
+    T0_b = np.tile(np.eye(4, dtype=np.float32), (2, 1, 1))
+    Ts_b, inl_b = batched(frames_b, feats_b, lm_b, has_b, T0_b, samp)
+    assert Ts_b.shape == (4, 2, 4, 4) and inl_b.shape == (4, 2)
+
+    pp_mesh = Mesh(np.array(jax.devices()[:2]), ("pp",))
+    single = make_frontback_pipeline(
+        K, pp_mesh, num_features=nfeat, fast_threshold=10.0, n_levels=1, grid=2
+    )
+    for s_i, (imgs, feats, lm, has) in enumerate(seqs):
+        Ts_s, inl_s = single(imgs, feats, lm, has, np.eye(4, dtype=np.float32), samp)
+        np.testing.assert_allclose(
+            np.asarray(Ts_b)[:, s_i], np.asarray(Ts_s)[: Ts_b.shape[0]], atol=2e-4
+        )

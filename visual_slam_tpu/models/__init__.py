@@ -8,5 +8,12 @@ the framework, one per sensor/deployment mode:
   * BatchedVO — data-parallel multi-sequence VO over a device mesh
 """
 
-from .families import MonoVO, StereoVO, RGBDVO, CompiledVO, BatchedVO  # noqa: F401
+from .families import (  # noqa: F401
+    BatchedVO,
+    CompiledVO,
+    MonoVO,
+    PipelinedVO,
+    RGBDVO,
+    StereoVO,
+)
 from .compiled_slam import CompiledSLAM  # noqa: F401
