@@ -143,3 +143,31 @@ def test_ate_parity_with_reference(tmp_path, seed, n_frames, step):
         # Reference could not sustain tracking even relaxed; ours must hold
         # a single-digit ATE to claim the win.
         assert our_ate < 10.0, our_ate
+
+
+@pytest.mark.parametrize("seed", [3, 42])
+def test_ate_parity_reference_hard_world(tmp_path, seed):
+    """VERDICT r2 weak #4: harder, KITTI-like fixtures — textured surfaces
+    (interior corners), occlusion clutter, photometric gain/bias drift and
+    sensor noise (render.render_sequence_hard). Parameters chosen so the
+    relaxed reference SURVIVES >= 2/3 of the frames (probed: 12/15 at
+    ~23-28% ATE), keeping the <= ref+5 gate meaningful."""
+    from render import render_sequence_hard
+
+    rng = np.random.default_rng(seed)
+    frames, Ts_gt, K, world = render_sequence_hard(
+        rng, n_frames=15, step=0.12, noise=1.0, gain_drift=0.002,
+        bias_drift=0.1,
+    )
+    ref_poses, ref_states = _run_reference(frames, K, tmp_path, min_inliers=4)
+    assert len(ref_poses) >= 10, (
+        f"reference survived only {len(ref_poses)}/15 — retune the fixture"
+    )
+    ref_ate, ref_n = _ate_pct(ref_poses, Ts_gt)
+
+    our_poses, our_states = _run_ours(frames, K)
+    assert len(our_poses) >= len(frames) - 2, f"ours lost tracking: {our_states}"
+    our_ate, our_n = _ate_pct(our_poses, Ts_gt)
+    assert our_ate <= ref_ate + 5.0, (our_ate, ref_ate)
+    print(f"\n[hard world seed={seed}] ATE % of path: ours {our_ate:.2f}% "
+          f"({our_n} frames) vs reference {ref_ate:.2f}% ({ref_n} frames)")
