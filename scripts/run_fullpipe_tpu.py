@@ -1,0 +1,73 @@
+"""Run ONLY the full-pipeline bench configuration (for fast A/Bs on the
+attached device): python scripts/run_fullpipe_tpu.py [chunk] [dtype]"""
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import logging
+import numpy as np
+
+import bench
+
+
+def run(chunk=8, dtype="u8", n_frames=64):
+    import time
+
+    from visual_slam_tpu.camera import PinholeCamera
+    from visual_slam_tpu.config import Config
+    from visual_slam_tpu.models import CompiledSLAM
+    from visual_slam_tpu.utils.metrics import ate_rmse
+
+    frames, K_np, Ts_gt = bench.synth_kitti_frames(
+        n_frames=n_frames, seed=3, step=0.6, n_sprites=1500
+    )
+    if dtype == "u8":
+        frames = [np.clip(f, 0, 255).astype(np.uint8) for f in frames]
+    cfg = Config()
+    cfg.feature.num_features = 2000
+    cfg.tracking.keyframe_interval = 4
+    cfg.tracking.chunk_size = chunk
+    cfg.optimization.max_points = 4096
+    cfg.initialization.min_inliers = 100
+    cam = PinholeCamera(width=frames[0].shape[1], height=frames[0].shape[0],
+                        K=np.asarray(K_np, np.float64))
+    slam = CompiledSLAM(cam, cfg)
+    slam.logger.setLevel(logging.DEBUG)
+    logging.basicConfig(level=logging.DEBUG)
+    i = 0
+    while slam.state.name != "OK" and i < 6:
+        slam.track([frames[i]], timestamp=i * 0.1)
+        i += 1
+    assert slam.state.name == "OK"
+    warm_end = min(i + 2 * max(chunk, 4), len(frames) - 8)
+    while i < warm_end:
+        slam.track([frames[i]], timestamp=i * 0.1)
+        i += 1
+    t0 = time.perf_counter()
+    n_timed = 0
+    for k in range(i, len(frames)):
+        info = slam.track([frames[k]], timestamp=k * 0.1)
+        if "n_inliers" in info:
+            print(f"frame {k}: {info}", flush=True)
+        n_timed += 1
+    slam.flush()
+    dt = time.perf_counter() - t0
+    ts, Ts = slam.trajectory()
+    idx = [int(round(t / 0.1)) for t in ts]
+    est = np.stack([-T[:3, :3].T @ T[:3, 3] for T in Ts])
+    gt = np.stack([-Ts_gt[j][:3, :3].T @ Ts_gt[j][:3, 3] for j in idx])
+    res = ate_rmse(est, gt, align_scale=True)
+    path_len = float(np.linalg.norm(np.diff(gt, axis=0), axis=1).sum())
+    print(
+        f"RESULT chunk={chunk} dtype={dtype}: fps={n_timed/dt:.2f} "
+        f"ate_pct={100*res['rmse']/path_len:.3f} kfs={slam.map.num_keyframes()} "
+        f"landmarks={slam.map.num_map_points()} state={slam.state.name}",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    chunk = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    dtype = sys.argv[2] if len(sys.argv) > 2 else "u8"
+    run(chunk, dtype)

@@ -177,10 +177,16 @@ class LMOptimizer(BaseOptimizer):
             return X_np, (s, (1.0 - s) * C0)
         return X_np, None
 
-    def _solve_and_writeback(
+    def solve_start(
         self, keyframes, map_points, w_bucket, fixed_flags=None,
         renormalize_scale=False,
     ):
+        """Pack + DISPATCH the LM/Schur solve without waiting. Returns an
+        opaque pending handle for :meth:`solve_finish`. Lets a caller
+        overlap the device solve with subsequent tracking and apply the
+        writeback at its next keyframe boundary (the relay-aware BA cadence
+        — a synchronous solve costs two ~40 ms device round trips inside
+        the boundary's critical path)."""
         cfg = self.config.optimization
         if fixed_flags is None:
             # Gauge: first KF frozen (reference torch_optimizer.py:54-57).
@@ -203,10 +209,30 @@ class LMOptimizer(BaseOptimizer):
             lam0=cfg.lm_lambda0,
             trim_factor=3.0,
         )
+        return {
+            "T": T, "X": X, "info": info,
+            "keyframes": list(keyframes), "used_points": used_points,
+            "kf_slot": kf_slot, "packed_valid": packed_valid, "kp_of": kp_of,
+            "fixed_flags": fixed_flags, "renormalize_scale": renormalize_scale,
+        }
+
+    def solve_finish(self, pending: dict) -> dict:
+        """Fetch + write back a :meth:`solve_start` dispatch. Keyframes or
+        landmarks culled in the meantime are written harmlessly (dead
+        objects) — the map reads only live ones."""
         import jax
 
+        keyframes = pending["keyframes"]
+        used_points = pending["used_points"]
+        kf_slot = pending["kf_slot"]
+        packed_valid = pending["packed_valid"]
+        kp_of = pending["kp_of"]
+        fixed_flags = pending["fixed_flags"]
+        renormalize_scale = pending["renormalize_scale"]
         # One batched fetch for poses, landmarks, and solver info.
-        T_np, X_np, info = jax.device_get((T, X, info))
+        T_np, X_np, info = jax.device_get(
+            (pending["T"], pending["X"], pending["info"])
+        )
         T_np = np.array(T_np)  # writable (gauge re-projection mutates)
         X_np = np.array(X_np)
         gauge_transform = None
@@ -240,6 +266,15 @@ class LMOptimizer(BaseOptimizer):
             "n_keyframes": len(keyframes),
             "gauge_transform": gauge_transform,
         }
+
+    def _solve_and_writeback(
+        self, keyframes, map_points, w_bucket, fixed_flags=None,
+        renormalize_scale=False,
+    ):
+        return self.solve_finish(self.solve_start(
+            keyframes, map_points, w_bucket,
+            fixed_flags=fixed_flags, renormalize_scale=renormalize_scale,
+        ))
 
     # -- public entry points ------------------------------------------------
     def optimize_initial(self, keyframes):
@@ -277,6 +312,34 @@ class LMOptimizer(BaseOptimizer):
             lo=self.config.optimization.pose_bucket_floor,
         )
         return self._solve_and_writeback(all_kfs, pts, w_bucket=w_bucket, fixed_flags=fixed)
+
+    def optimize_local_start(self, keyframes, map_points, fixed_keyframes=()):
+        """Async variant of :meth:`optimize_local`: dispatch only; finish
+        with :meth:`solve_finish`. Returns None when skipped."""
+        kfs = list(keyframes)
+        anchors = [kf for kf in fixed_keyframes if kf not in kfs]
+        pts = [mp for mp in map_points if not mp.is_bad]
+        if len(kfs) < 2 or len(pts) < 10:
+            return None
+        all_kfs = anchors + kfs
+        fixed = [True] * len(anchors) + [False] * len(kfs)
+        if not anchors:
+            fixed[0] = True
+        w_bucket = _bucket4(
+            max(self.config.optimization.window_size, len(all_kfs)),
+            lo=self.config.optimization.pose_bucket_floor,
+        )
+        return self.solve_start(all_kfs, pts, w_bucket=w_bucket, fixed_flags=fixed)
+
+    def optimize_global_start(self, keyframes, map_points):
+        """Async variant of :meth:`optimize_global` (gauge renormalization
+        happens at finish). Returns None when skipped."""
+        kfs = list(keyframes)
+        pts = [mp for mp in map_points if not mp.is_bad]
+        if len(kfs) < 2 or len(pts) < 10:
+            return None
+        w_bucket = _bucket4(len(kfs), lo=self.config.optimization.pose_bucket_floor)
+        return self.solve_start(kfs, pts, w_bucket=w_bucket, renormalize_scale=True)
 
     def optimize_global(self, keyframes, map_points):
         kfs = list(keyframes)

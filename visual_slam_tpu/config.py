@@ -139,6 +139,15 @@ class OptimizationConfig:
     pose_bucket_floor: int = 16
     point_bucket_floor: int = 1024
     ba_every_n_keyframes: int = 1  # throttle the BA handler trigger
+    # CompiledSLAM: dispatch the keyframe-boundary BA WITHOUT waiting and
+    # apply its writeback at the next boundary (overlaps the solve with the
+    # following frames' tracking; each synchronous wait is a ~40 ms device
+    # round trip on remote-attached hardware). Deterministic (single
+    # thread); the tracked pose is anchored through the reference keyframe
+    # correction when the writeback lands. Off by default: the one-boundary
+    # refinement lag measurably costs accuracy on sparse scenes (A/B on the
+    # small render world: ATE 0.24 sync vs 0.45 async + a transient LOST).
+    async_ba: bool = False
     log_reprojection_error: bool = True  # host-side metric around each BA
     # Run full-map BA while the map is at most this many keyframes (the
     # compiled LM/Schur solve is ~ms even at 64 KFs x 16k landmarks; windowed

@@ -114,6 +114,9 @@ class CompiledSLAM:
         # promotion triggered by an older frame cannot misalign the indices.
         self._pending = None
         self._lm_arena: list[Optional[MapPoint]] = []
+        # In-flight keyframe-boundary BA (config.optimization.async_ba):
+        # dispatched at one boundary, written back at the next.
+        self._ba_pending = None
         # Bootstrap reuses the host initializer (runs once).
         from ..frontend.tracker import FeatureTracker
         from ..initializer import Initializer
@@ -178,6 +181,7 @@ class CompiledSLAM:
         refinements and loop-closure corrections applied to keyframes AFTER
         the frame was tracked propagate into the trajectory (the ORB-SLAM
         relative-trajectory recovery)."""
+        self._apply_pending_ba()  # final refinement lands before export
         if not self.poses:
             return np.zeros(0), np.zeros((0, 4, 4))
         ts = np.asarray([t for blk in self.poses for t in blk[0]])
@@ -197,6 +201,7 @@ class CompiledSLAM:
 
     def shutdown(self) -> None:
         self.flush()
+        self._apply_pending_ba()
         self.logger.info(
             "shutdown: %d keyframes, %d landmarks, %d frame poses",
             self.map.num_keyframes(), self.map.num_map_points(), self.num_frames_tracked(),
@@ -435,7 +440,30 @@ class CompiledSLAM:
             # Frames after j_star stay tracked against the old reference;
             # they count toward the next interval.
             self._frames_since_kf = last - j_star
+            if j_star != last:
+                # The promoted frame is NOT the newest: _install_reference
+                # reset the track-state pose to the keyframe's, which would
+                # rewind (last - j_star) frames of camera motion and throw
+                # the next chunk's motion prediction off by meters (observed
+                # on the bench: guided search missed, inliers collapsed to
+                # 2, LOST). Keep the newest frame's pose, carried through
+                # whatever correction BA/loop closing applied to the new
+                # keyframe: T_state = T_last @ inv(T_kf_old) @ T_kf_new.
+                kf_new = self.map.get_last_keyframe()
+                T_kf_old = np.asarray(T_all[j_star], np.float64)
+                T_state = (
+                    np.asarray(T_all[last], np.float64)
+                    @ np.linalg.inv(T_kf_old)
+                    @ kf_new.T_w2c
+                )
+                self._track_state = self._track_state._replace(
+                    T_w2c=jnp.asarray(T_state, jnp.float32)
+                )
             info["new_keyframe"] = True
+            self.logger.debug(
+                "chunk promoted frame %d/%d, inliers %s",
+                j_star, n, n_inl_all.tolist(),
+            )
             return info
         if not healthy[last]:
             out_last = jax.tree.map(lambda a: a[last], outs)
@@ -449,6 +477,33 @@ class CompiledSLAM:
                 "compiled tracking lost (chunk, %d inliers)", int(n_inl_all[last])
             )
         return info
+
+    def _apply_pending_ba(self) -> None:
+        if self._ba_pending is None:
+            return
+        pending, self._ba_pending = self._ba_pending, None
+        res = self.optimizer.solve_finish(pending)
+        g = res.get("gauge_transform")
+        if g is not None:
+            self.map.record_gauge_transform(*g)
+
+    def _start_local_ba(self, kfs):
+        window = kfs[-self.config.optimization.window_size:]
+        points = {}
+        for kf in window:
+            for mp in list(kf.map_points.values()):
+                if not mp.is_bad:
+                    points[mp.id] = mp
+        window_ids = {kf.keyframe_id for kf in window}
+        anchor_ids = set()
+        for mp in points.values():
+            for kf_id in mp.observations.get_keyframe_ids():
+                if kf_id not in window_ids:
+                    anchor_ids.add(kf_id)
+        anchors = [kf for kf in kfs if kf.keyframe_id in anchor_ids]
+        return self.optimizer.optimize_local_start(
+            window, list(points.values()), fixed_keyframes=anchors
+        )
 
     def _decide(self, out, timestamp, ref_kf, arena) -> dict:
         n_inl = int(out.n_inliers)
@@ -571,6 +626,7 @@ class CompiledSLAM:
         self.map.add_keyframe(kf)
         self._frames_since_kf = 0
         self._pending = None
+        self._apply_pending_ba()
         if self.map.num_keyframes() > 2:
             kfs_all = self.map.get_keyframes()
             if len(kfs_all) <= 2 * self.config.optimization.window_size:
@@ -599,6 +655,13 @@ class CompiledSLAM:
             out.pnp_inliers, out.guided_idx, out.guided_valid,
         ))
         T = np.asarray(T, np.float64)
+        # Land the in-flight BA writeback BEFORE reading any keyframe pose,
+        # and carry the tracked pose through its reference's correction so
+        # triangulation sees one consistent gauge.
+        T_ref_before = ref.T_w2c.copy() if ref is not None else None
+        self._apply_pending_ba()
+        if ref is not None and not np.array_equal(ref.T_w2c, T_ref_before):
+            T = T @ np.linalg.inv(T_ref_before) @ ref.T_w2c
         frame = Frame(features=[feats], timestamp=timestamp)
         frame.update_pose(T)
         kf = KeyFrame.from_frame(frame)
@@ -652,7 +715,14 @@ class CompiledSLAM:
 
         # Triangulate new landmarks from matched-but-landmarkless pairs.
         tri_mask = m_ok & ~ref_mask[ti] & ~inherited
-        self._triangulate(kf, ref, ti, tri_mask, out)
+        created = self._triangulate(kf, ref, ti, tri_mask, out)
+        self.logger.debug(
+            "promote: %d matches (%d to landmarks), %d inherited, "
+            "%d triangulated of %d candidates, kf landmarks %d",
+            int(m_ok.sum()), int((m_ok & ref_mask[ti]).sum()),
+            int(inherited.sum()), created, int(tri_mask.sum()),
+            kf.num_map_points(),
+        )
 
         # Stereo: metric landmarks for every depth-measured keypoint still
         # without one (no parallax wait — disparity gives depth directly).
@@ -662,10 +732,19 @@ class CompiledSLAM:
         self.map.add_keyframe(kf)
         self._frames_since_kf = 0
 
-        # Windowed BA (bucketed shapes; full map while small).
+        # Windowed BA (bucketed shapes; full map while small). With
+        # async_ba the solve is dispatched now and written back at the NEXT
+        # boundary, overlapping it with the following frames' tracking.
         if self.map.num_keyframes() > 2:
             kfs = self.map.get_keyframes()
-            if len(kfs) <= 2 * self.config.optimization.window_size:
+            if self.config.optimization.async_ba:
+                if len(kfs) <= 2 * self.config.optimization.window_size:
+                    self._ba_pending = self.optimizer.optimize_global_start(
+                        kfs, self.map.get_map_points()
+                    )
+                else:
+                    self._ba_pending = self._start_local_ba(kfs)
+            elif len(kfs) <= 2 * self.config.optimization.window_size:
                 self.map.optimize_global(self.optimizer)
             else:
                 self.map.optimize_local(
