@@ -48,6 +48,7 @@ def main():
     cfg = Config()
     cfg.feature.num_features = num_features
     cfg.tracking.keyframe_interval = 4
+    cfg.tracking.chunk_size = 4
     cfg.optimization.max_points = 4096
     cfg.initialization.min_inliers = 100
     cam = PinholeCamera(
@@ -58,6 +59,7 @@ def main():
 
     # Instrument internals.
     slam._decide = timed("decide")(slam._decide)
+    slam._run_chunk = timed("run_chunk_total")(slam._run_chunk)
     slam._promote_keyframe = timed("promote_total")(slam._promote_keyframe)
     slam._triangulate = timed("promote.triangulate")(slam._triangulate)
     slam._install_reference = timed("promote.install_ref")(slam._install_reference)
@@ -71,34 +73,42 @@ def main():
             slam.loop_closing.process_keyframe
         )
 
-    step_inner = slam._step
+    chunk_inner = slam._chunk
 
-    def step_timed(state, img):
+    def chunk_timed(state, imgs):
         t0 = time.perf_counter()
-        out = step_inner(state, img)
-        TIMER.add("step_dispatch", time.perf_counter() - t0)
+        out = chunk_inner(state, imgs)
+        TIMER.add("chunk_dispatch", time.perf_counter() - t0)
         return out
 
-    slam._step = step_timed
+    slam._chunk = chunk_timed
+    import jax
+    dg = jax.device_get
+
+    def dg_timed(x):
+        t0 = time.perf_counter()
+        r = dg(x)
+        TIMER.add("device_get", time.perf_counter() - t0)
+        return r
+
+    jax.device_get = dg_timed
 
     i = 0
     while slam.state.name != "OK" and i < 6:
         slam.track([frames[i]], timestamp=i * 0.1)
         i += 1
     assert slam.state.name == "OK", "bootstrap failed"
-    slam.track([frames[i]], timestamp=i * 0.1)
-    i += 1
+    warm_end = min(i + 9, len(frames) - 8)  # two chunk cycles of compiles
+    while i < warm_end:
+        slam.track([frames[i]], timestamp=i * 0.1)
+        i += 1
     TIMER.reset()  # drop compile-time samples
 
     t0 = time.perf_counter()
     n_timed = 0
     for k in range(i, len(frames)):
         with TIMER("frame_total"):
-            with TIMER("img_upload"):
-                import jax.numpy as jnp
-                img = jnp.asarray(frames[k], jnp.float32)
-                # do NOT block: mirrors bench (upload async)
-            slam.track([img], timestamp=k * 0.1)
+            slam.track([frames[k]], timestamp=k * 0.1)
         n_timed += 1
     with TIMER("flush"):
         slam.flush()

@@ -11,7 +11,8 @@ import numpy as np
 import bench
 
 
-def run(chunk=8, dtype="u8", n_frames=64):
+def run(chunk=8, dtype="u8", n_frames=64, async_ba=False, heavy_every=1,
+        devpromo=False):
     import time
 
     from visual_slam_tpu.camera import PinholeCamera
@@ -28,7 +29,10 @@ def run(chunk=8, dtype="u8", n_frames=64):
     cfg.feature.num_features = 2000
     cfg.tracking.keyframe_interval = 4
     cfg.tracking.chunk_size = chunk
+    cfg.tracking.heavy_boundary_every = heavy_every
+    cfg.tracking.device_promotion = devpromo
     cfg.optimization.max_points = 4096
+    cfg.optimization.async_ba = async_ba
     cfg.initialization.min_inliers = 100
     cam = PinholeCamera(width=frames[0].shape[1], height=frames[0].shape[0],
                         K=np.asarray(K_np, np.float64))
@@ -60,7 +64,7 @@ def run(chunk=8, dtype="u8", n_frames=64):
     res = ate_rmse(est, gt, align_scale=True)
     path_len = float(np.linalg.norm(np.diff(gt, axis=0), axis=1).sum())
     print(
-        f"RESULT chunk={chunk} dtype={dtype}: fps={n_timed/dt:.2f} "
+        f"RESULT chunk={chunk} dtype={dtype} async={async_ba} heavy_every={heavy_every} devpromo={devpromo}: fps={n_timed/dt:.2f} "
         f"ate_pct={100*res['rmse']/path_len:.3f} kfs={slam.map.num_keyframes()} "
         f"landmarks={slam.map.num_map_points()} state={slam.state.name}",
         flush=True,
@@ -70,4 +74,11 @@ def run(chunk=8, dtype="u8", n_frames=64):
 if __name__ == "__main__":
     chunk = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     dtype = sys.argv[2] if len(sys.argv) > 2 else "u8"
-    run(chunk, dtype)
+    async_ba = "async" in sys.argv[3:]
+    devpromo = "devpromo" in sys.argv[3:]
+    heavy_every = 1
+    for a in sys.argv[3:]:
+        if a.startswith("heavy"):
+            heavy_every = int(a[5:])
+    run(chunk, dtype, async_ba=async_ba, heavy_every=heavy_every,
+        devpromo=devpromo)

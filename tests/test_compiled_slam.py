@@ -235,3 +235,34 @@ def test_compiled_slam_chunked():
     gt = np.stack([-Ts_gt[i][:3, :3].T @ Ts_gt[i][:3, 3] for i in idx])
     res = ate_rmse(est, gt, align_scale=True)
     assert res["rmse"] < 0.45, res
+
+
+def test_compiled_slam_device_promotion():
+    """In-chunk device-side keyframe promotion (tracking.device_promotion):
+    with chunk_size ABOVE the renderer's ~4-frame match-decay horizon, the
+    plain chunk starves (the reference block goes stale mid-chunk) while
+    the self-promoting chunk swaps its own reference on-device and must
+    track the whole sequence at comparable accuracy, with host keyframes
+    rebuilt from the PromoteRecords."""
+    rng = np.random.default_rng(42)
+    frames, Ts_gt, K, world = render_sequence(rng, n_frames=17, step=0.3)
+    cam = PinholeCamera(width=frames[0].shape[1], height=frames[0].shape[0], K=K)
+    cfg = small_config()
+    cfg.tracking.chunk_size = 7  # > decay horizon; needs in-chunk promotion
+    cfg.tracking.device_promotion = True
+    slam = CompiledSLAM(cam, cfg)
+    infos = [slam.track([img], timestamp=i * 0.1) for i, img in enumerate(frames)]
+    slam.shutdown()  # flushes the partial chunk
+    assert slam.state == State.OK, [i["state"] for i in infos]
+    assert any(i.get("new_keyframe") for i in infos)
+    # Device promotions happened MID-chunk (more than one keyframe from a
+    # single boundary implies in-chunk promotion records were adopted).
+    assert slam.map.num_keyframes() >= 3
+    ts, Ts = slam.trajectory()
+    assert ts.tolist() == sorted(ts.tolist())
+    assert slam.num_frames_tracked() == len(ts) >= 14
+    idx = [int(round(t / 0.1)) for t in ts]
+    est = np.stack([-T[:3, :3].T @ T[:3, 3] for T in Ts])
+    gt = np.stack([-Ts_gt[i][:3, :3].T @ Ts_gt[i][:3, 3] for i in idx])
+    res = ate_rmse(est, gt, align_scale=True)
+    assert res["rmse"] < 0.45, res

@@ -198,7 +198,7 @@ def test_frontback_pipeline_batched_sequences():
     has_b = np.stack([s[3] for s in seqs])
     T0_b = np.tile(np.eye(4, dtype=np.float32), (2, 1, 1))
     Ts_b, inl_b = batched(frames_b, feats_b, lm_b, has_b, T0_b, samp)
-    assert Ts_b.shape == (4, 2, 4, 4) and inl_b.shape == (4, 2)
+    assert Ts_b.shape == (3, 2, 4, 4) and inl_b.shape == (3, 2)
 
     pp_mesh = Mesh(np.array(jax.devices()[:2]), ("pp",))
     single = make_frontback_pipeline(

@@ -98,6 +98,20 @@ class TrackingConfig:
     # reference block stales at most chunk_size-1 extra frames (the same
     # staleness the deferred per-frame decision tolerates). 1 = per-frame.
     chunk_size: int = 1
+    # In-chunk DEVICE-side keyframe promotion (pipeline.
+    # make_track_chunk_promote): the compiled chunk evaluates the keyframe
+    # gates every frame and swaps its own reference block (inherit +
+    # triangulate) without returning to the host, so chunk_size can exceed
+    # the sequence's match-decay horizon; the host rebuilds the promoted
+    # keyframes from the chunk's PromoteRecords at the boundary. Mono only
+    # (stereo boundaries need the host's instant-depth landmark path).
+    device_promotion: bool = False
+    # Chunked-mode boundary split: every promotion creates the keyframe,
+    # inherits landmarks and refreshes the reference/arena (cheap, no device
+    # sync), but triangulation + BA (two ~40 ms syncs each on the relay)
+    # run only every Nth promotion — or immediately when tracking thins.
+    # 1 = every boundary is heavy (per-frame-mode behavior).
+    heavy_boundary_every: int = 1
     # Depth-aware tracking (stereo disparity / RGB-D depth residual in PnP —
     # the second modality constrains pose every frame, not only at keyframes)
     use_depth_residual: bool = True

@@ -42,6 +42,7 @@ from ..ops.projection import normalize_points
 from ..pipeline import (
     init_track_state,
     make_track_chunk,
+    make_track_chunk_promote,
     make_track_step,
     set_local_map,
     swap_reference,
@@ -105,10 +106,35 @@ class CompiledSLAM:
         # per dispatch (pipeline.make_track_chunk). Host decisions move to
         # chunk boundaries; per-dispatch relay latency amortizes 1/C.
         self._chunk_size = max(1, int(tcfg.chunk_size))
-        self._chunk = (
-            make_track_chunk(self._step) if self._chunk_size > 1 else None
+        # In-chunk device-side promotion (mono only): the chunk swaps its
+        # own reference on the keyframe gates, so chunk_size can exceed the
+        # sequence's match-decay horizon (see make_track_chunk_promote).
+        self._dev_promo = (
+            bool(tcfg.device_promotion)
+            and self._chunk_size > 1
+            and not self._stereo
         )
-        self._chunk_buf: list[tuple[object, float]] = []  # (img_dev, ts)
+        lcfg = self.config.local_mapping
+        if self._chunk_size <= 1:
+            self._chunk = None
+        elif self._dev_promo:
+            self._chunk = make_track_chunk_promote(
+                self._step,
+                jnp.asarray(camera.K, jnp.float32),
+                min_inliers=tcfg.min_inliers,
+                keyframe_interval=tcfg.keyframe_interval,
+                kf_min_matches=tcfg.kf_min_matches,
+                kf_min_rotation_deg=tcfg.kf_min_rotation_deg,
+                kf_min_translation=tcfg.kf_min_translation,
+                min_depth=lcfg.min_depth,
+                max_depth=lcfg.max_depth,
+                min_parallax_deg=lcfg.min_parallax_deg,
+                pnp_threshold_px=tcfg.pnp_threshold_px,
+            )
+        else:
+            self._chunk = make_track_chunk(self._step)
+        self._chunk_buf: list[tuple[object, float]] = []  # (img_host, ts)
+        self._promos_since_heavy = 0
         # Previous frame's step output, deferred for the host decision:
         # (out, timestamp, ref_kf, arena) — ref/arena AT SUBMIT TIME, so a
         # promotion triggered by an older frame cannot misalign the indices.
@@ -374,10 +400,34 @@ class CompiledSLAM:
             info.update(self._decide(*pending))
         return info
 
+    def _img_buf(self, imgs):
+        """Per-frame chunk-buffer entry: kept on HOST so the whole chunk
+        uploads as ONE stacked transfer (C separate uploads cost ~2-6 ms of
+        relay submission each; one (C, H, W) transfer costs one)."""
+        import jax
+
+        if self._stereo:
+            if len(imgs) < 2:
+                raise ValueError(
+                    "stereo-configured CompiledSLAM needs [left, right] images"
+                )
+            l, r = imgs[0], imgs[1]
+            if isinstance(l, jax.Array) or isinstance(r, jax.Array):
+                return jnp.stack([jnp.asarray(l), jnp.asarray(r)])
+            return np.stack([l, r])
+        return imgs[0]
+
+    def _stack_imgs(self, imgs):
+        import jax
+
+        if any(isinstance(im, jax.Array) for im in imgs):
+            return jnp.stack([jnp.asarray(im) for im in imgs])
+        return jnp.asarray(np.stack(imgs))
+
     def _track_chunked(self, imgs, timestamp: float) -> dict:
         """Buffer frames; every chunk_size-th frame runs the whole chunk in
         ONE device dispatch (lax.scan over the fused step)."""
-        self._chunk_buf.append((self._img_arg(imgs), timestamp))
+        self._chunk_buf.append((self._img_buf(imgs), timestamp))
         if len(self._chunk_buf) < self._chunk_size:
             return {"state": self.state.name, "buffered": len(self._chunk_buf)}
         return self._run_chunk()
@@ -390,9 +440,13 @@ class CompiledSLAM:
         imgs = [im for im, _ in buf]
         while len(imgs) < self._chunk_size:  # flush pads; padded outs ignored
             imgs.append(imgs[-1])
+        if self._dev_promo:
+            return self._run_chunk_devpromo(imgs, buf, n)
         ref_kf, arena = self._ref_kf, self._lm_arena
         T_ref_snap = ref_kf.T_w2c.copy()
-        self._track_state, outs = self._chunk(self._track_state, jnp.stack(imgs))
+        self._track_state, outs = self._chunk(
+            self._track_state, self._stack_imgs(imgs)
+        )
         ts_tuple = tuple(t for _, t in buf)
         T_block = outs.T_w2c if n == self._chunk_size else outs.T_w2c[:n]
         self.poses.append((ts_tuple, T_block, ref_kf, T_ref_snap))
@@ -406,6 +460,11 @@ class CompiledSLAM:
         outs = jax.device_get(outs)
         n_inl_all = np.asarray(outs.n_inliers)[:n]
         T_all = np.asarray(outs.T_w2c)
+        self.logger.debug(
+            "chunk: inliers %s matches %s guided %s",
+            n_inl_all.tolist(), np.asarray(outs.n_matches)[:n].tolist(),
+            np.asarray(outs.guided_valid)[:n].sum(axis=-1).tolist(),
+        )
         tcfg = self.config.tracking
         last = n - 1
         info = {
@@ -436,7 +495,15 @@ class CompiledSLAM:
         if trigger and healthy.any():
             j_star = int(np.nonzero(healthy)[0][-1])
             out_j = jax.tree.map(lambda a: a[j_star], outs)
-            self._promote_keyframe(out_j, ts_tuple[j_star], ref_kf, arena)
+            heavy = (
+                tcfg.heavy_boundary_every <= 1
+                or self._promos_since_heavy + 1 >= tcfg.heavy_boundary_every
+                or int(n_inl_all[last]) < tcfg.kf_min_matches
+            )
+            self._promote_keyframe(
+                out_j, ts_tuple[j_star], ref_kf, arena, heavy=heavy
+            )
+            self._promos_since_heavy = 0 if heavy else self._promos_since_heavy + 1
             # Frames after j_star stay tracked against the old reference;
             # they count toward the next interval.
             self._frames_since_kf = last - j_star
@@ -477,6 +544,200 @@ class CompiledSLAM:
                 "compiled tracking lost (chunk, %d inliers)", int(n_inl_all[last])
             )
         return info
+
+    def _run_chunk_devpromo(self, imgs, buf, n: int) -> dict:
+        """Chunk boundary for the device-self-promoting chunk
+        (pipeline.make_track_chunk_promote): the device already swapped its
+        reference at every triggered frame; the host replays the emitted
+        PromoteRecords into Map keyframes/landmarks (no extra dispatches),
+        runs BA on the heavy cadence, and re-installs a corrected state
+        only when BA actually moved the map — a light boundary costs pure
+        host object work and zero device round trips beyond the chunk's
+        single output fetch."""
+        import jax
+
+        ref_kf, arena = self._ref_kf, self._lm_arena
+        T_ref_snap = ref_kf.T_w2c.copy()
+        self._track_state, _fsr, _T_ref, outs, recs = self._chunk(
+            self._track_state,
+            np.int32(self._frames_since_kf),
+            np.asarray(ref_kf.T_w2c, np.float32),
+            self._stack_imgs(imgs),
+        )
+        ts_tuple = tuple(t for _, t in buf)
+        T_block = outs.T_w2c if n == self._chunk_size else outs.T_w2c[:n]
+        self.poses.append((ts_tuple, T_block, ref_kf, T_ref_snap))
+
+        outs, recs = jax.device_get((outs, recs))  # ONE sync per chunk
+        n_inl_all = np.asarray(outs.n_inliers)[:n]
+        promoted = np.asarray(recs.promoted)[:n]
+        tcfg = self.config.tracking
+        last = n - 1
+        info = {
+            "state": self.state.name,
+            "n_inliers": int(n_inl_all[last]),
+            "chunk_frames": n,
+        }
+        self.logger.debug(
+            "chunk(devpromo): inliers %s promoted %s",
+            n_inl_all.tolist(), np.nonzero(promoted)[0].tolist(),
+        )
+        promo_idx = np.nonzero(promoted)[0]
+        cur_ref = ref_kf
+        new_kfs = []
+        for f in promo_idx:
+            out_f = jax.tree.map(lambda a: a[f], outs)
+            rec_f = jax.tree.map(lambda a: a[f], recs)
+            kf = self._adopt_device_keyframe(
+                out_f, rec_f, ts_tuple[f], cur_ref, arena
+            )
+            new_kfs.append(kf)
+            cur_ref = kf
+        if new_kfs:
+            kf_last = new_kfs[-1]
+            self._frames_since_kf = last - int(promo_idx[-1])
+            heavy = (
+                tcfg.heavy_boundary_every <= 1
+                or self._promos_since_heavy + len(new_kfs)
+                >= tcfg.heavy_boundary_every
+            )
+            if heavy:
+                self._promos_since_heavy = 0
+                self._boundary_heavy(kf_last)
+                # BA/loop closing moved poses+landmarks: re-install the
+                # corrected reference + fresh arena, carrying the newest
+                # frame's pose through the keyframe's correction (an
+                # uncorrected reset rewinds the motion model by the frames
+                # tracked since promotion — observed death spiral).
+                self._install_reference(kf_last, T_init=kf_last.T_w2c)
+                T_kf_old = np.asarray(outs.T_w2c[promo_idx[-1]], np.float64)
+                T_state = (
+                    np.asarray(outs.T_w2c[last], np.float64)
+                    @ np.linalg.inv(T_kf_old)
+                    @ kf_last.T_w2c
+                )
+                self._track_state = self._track_state._replace(
+                    T_w2c=jnp.asarray(T_state, jnp.float32)
+                )
+            else:
+                # Light boundary: the device state is already correct (it
+                # promoted itself); only host bookkeeping moves.
+                self._promos_since_heavy += len(new_kfs)
+                self._ref_kf = kf_last
+            info["new_keyframe"] = True
+        else:
+            self._frames_since_kf += n
+        if n_inl_all[last] < tcfg.min_inliers:
+            out_last = jax.tree.map(lambda a: a[last], outs)
+            rec = self._brute_recover(out_last, ts_tuple[-1])
+            if rec is not None:
+                info.update(rec)
+                return info
+            self.state = State.LOST
+            info["state"] = self.state.name
+            self.logger.warning(
+                "compiled tracking lost (devpromo chunk, %d inliers)",
+                int(n_inl_all[last]),
+            )
+        return info
+
+    def _adopt_device_keyframe(
+        self, out, rec, timestamp: float, ref: KeyFrame, arena
+    ) -> KeyFrame:
+        """Replay one in-chunk device promotion into the host map: build the
+        KeyFrame from the (already fetched) chunk outputs, link inherited
+        landmarks through the same guided/reference associations the device
+        used, and mint MapPoints for the device-triangulated slots
+        (positions from the PromoteRecord — no triangulation dispatch)."""
+        T = np.asarray(out.T_w2c, np.float64)
+        feats = out.features
+        frame = Frame(features=[feats], timestamp=timestamp)
+        frame.update_pose(T)
+        kf = KeyFrame.from_frame(frame)
+        ti = np.asarray(out.match_train_idx)
+        m_ok = np.asarray(out.match_valid)
+        inl = np.asarray(out.pnp_inliers)
+        g_idx = np.asarray(out.guided_idx)
+        g_ok = np.asarray(out.guided_valid) & inl
+        _, ref_mask = ref.point_arrays(0)
+        inherited = np.zeros(len(m_ok), bool)
+        if len(arena):
+            for i in np.nonzero(g_ok)[0]:
+                r = int(g_idx[i])
+                if r < len(arena):
+                    mp = arena[r]
+                    if mp is not None and not mp.is_bad:
+                        kf.add_map_point(0, int(i), mp)
+                        inherited[i] = True
+        for i in np.nonzero(m_ok & inl & ref_mask[ti] & ~inherited)[0]:
+            mp = ref.get_map_point(0, int(ti[i]))
+            if mp is not None and not mp.is_bad:
+                kf.add_map_point(0, int(i), mp)
+                inherited[i] = True
+        # Fuse keypoints carrying both a guided-arena landmark and a
+        # different reference-block landmark (same dedup as the host
+        # boundary promotion).
+        if len(arena):
+            C_kf = kf.camera_center
+            for i in np.nonzero(g_ok & m_ok & ref_mask[ti])[0]:
+                r = int(g_idx[i])
+                if r >= len(arena):
+                    continue
+                mp_a = arena[r]
+                mp_b = ref.get_map_point(0, int(ti[i]))
+                if (
+                    mp_a is None or mp_b is None or mp_a is mp_b
+                    or mp_a.is_bad or mp_b.is_bad
+                ):
+                    continue
+                d = float(np.linalg.norm(mp_a.position - mp_b.position))
+                depth = float(np.linalg.norm(mp_a.position - C_kf))
+                if d <= 0.1 * max(depth, 1e-6):
+                    keep, drop = (
+                        (mp_a, mp_b)
+                        if mp_a.num_observations() >= mp_b.num_observations()
+                        else (mp_b, mp_a)
+                    )
+                    self.map.fuse_map_points(keep, drop)
+        created = 0
+        new_mask = np.asarray(rec.ref_has) & ~inherited
+        pos = np.asarray(rec.ref_pos, np.float64)
+        desc = np.asarray(feats.desc)
+        for i in np.nonzero(new_mask)[0]:
+            mp = MapPoint(pos[i], descriptor=desc[i])
+            kf.add_map_point(0, int(i), mp)
+            ref.add_map_point(0, int(ti[i]), mp)
+            self.map.add_map_point(mp)
+            created += 1
+        self.map.add_keyframe(kf)
+        self.logger.debug(
+            "adopt devpromo KF: %d inherited, %d device-triangulated, "
+            "kf landmarks %d",
+            int(inherited.sum()), created, kf.num_map_points(),
+        )
+        return kf
+
+    def _boundary_heavy(self, kf: KeyFrame) -> None:
+        """BA + loop closing for the device-promotion path. The device-
+        triangulated landmarks are already in the map, so they JOIN this
+        solve (unlike the host-promotion path, where the in-flight
+        triangulation joins the next one)."""
+        pending = None
+        if self.map.num_keyframes() > 2:
+            kfs = self.map.get_keyframes()
+            if len(kfs) <= 2 * self.config.optimization.window_size:
+                pending = self.optimizer.optimize_global_start(
+                    kfs, self.map.get_map_points()
+                )
+            else:
+                pending = self._start_local_ba(kfs)
+        if pending is not None:
+            res = self.optimizer.solve_finish(pending)
+            g = res.get("gauge_transform")
+            if g is not None:
+                self.map.record_gauge_transform(*g)
+        if self.loop_closing is not None:
+            self.loop_closing.process_keyframe(kf)
 
     def _apply_pending_ba(self) -> None:
         if self._ba_pending is None:
@@ -639,10 +900,18 @@ class CompiledSLAM:
         self.logger.info("brute-recovered near-lost frame (%d inliers)", n_inl)
         return {"recovered": True, "n_inliers": n_inl, "new_keyframe": True}
 
-    def _promote_keyframe(self, out, timestamp: float, ref: KeyFrame, arena) -> None:
+    def _promote_keyframe(
+        self, out, timestamp: float, ref: KeyFrame, arena, heavy: bool = True
+    ) -> None:
         """Keyframe boundary: all data comes from the track step's outputs —
         no re-detection, no extra matching. ``ref``/``arena`` are the blocks
-        that were installed when this frame's step ran."""
+        that were installed when this frame's step ran.
+
+        ``heavy=False`` creates the keyframe, inherits landmarks and swaps
+        the reference/arena but SKIPS triangulation + BA + loop closing —
+        the sync-free light boundary of the chunked deployment
+        (tracking.heavy_boundary_every); the next heavy boundary
+        triangulates against this keyframe with accumulated baseline."""
         import jax
 
         # ONE batched device->host fetch for everything the boundary needs
@@ -713,50 +982,101 @@ class CompiledSLAM:
                     )
                     self.map.fuse_map_points(keep, drop)
 
-        # Triangulate new landmarks from matched-but-landmarkless pairs.
-        tri_mask = m_ok & ~ref_mask[ti] & ~inherited
-        created = self._triangulate(kf, ref, ti, tri_mask, out)
-        self.logger.debug(
-            "promote: %d matches (%d to landmarks), %d inherited, "
-            "%d triangulated of %d candidates, kf landmarks %d",
-            int(m_ok.sum()), int((m_ok & ref_mask[ti]).sum()),
-            int(inherited.sum()), created, int(tri_mask.sum()),
-            kf.num_map_points(),
-        )
-
+        created = 0
+        tri_dev = tri_mask = None
+        if heavy:
+            # New landmarks come from matched-but-landmarkless pairs; the
+            # triangulation DISPATCH happens after the BA dispatch below so
+            # it can consume the solve's output poses.
+            tri_mask = m_ok & ~ref_mask[ti] & ~inherited
         # Stereo: metric landmarks for every depth-measured keypoint still
         # without one (no parallax wait — disparity gives depth directly).
-        if self._stereo and out.kp_z is not None:
+        if self._stereo and out.kp_z is not None and heavy:
             self._create_stereo_points(kf, out)
 
         self.map.add_keyframe(kf)
         self._frames_since_kf = 0
 
-        # Windowed BA (bucketed shapes; full map while small). With
-        # async_ba the solve is dispatched now and written back at the NEXT
-        # boundary, overlapping it with the following frames' tracking.
-        if self.map.num_keyframes() > 2:
-            kfs = self.map.get_keyframes()
-            if self.config.optimization.async_ba:
+        if heavy:
+            # Windowed BA (bucketed shapes; full map while small): the
+            # solve is DISPATCHED (pack excludes the still-in-flight new
+            # triangulations; they join the next solve), triangulation is
+            # dispatched CHAINED on the solve's device-side output poses for
+            # ref/kf (so new landmarks are born in the post-solve frame),
+            # then ONE device round trip fetches BA results + triangulation
+            # together; the host-side gauge similarity from solve_finish is
+            # applied to the fetched points before insertion. With async_ba
+            # the writeback instead lands at the NEXT boundary and
+            # triangulation uses the current (pre-solve) poses — consistent
+            # with the map the next frames track against.
+            pending = None
+            if self.map.num_keyframes() > 2:
+                kfs = self.map.get_keyframes()
                 if len(kfs) <= 2 * self.config.optimization.window_size:
-                    self._ba_pending = self.optimizer.optimize_global_start(
+                    pending = self.optimizer.optimize_global_start(
                         kfs, self.map.get_map_points()
                     )
                 else:
-                    self._ba_pending = self._start_local_ba(kfs)
-            elif len(kfs) <= 2 * self.config.optimization.window_size:
-                self.map.optimize_global(self.optimizer)
-            else:
-                self.map.optimize_local(
-                    self.optimizer, kfs[-self.config.optimization.window_size:]
+                    pending = self._start_local_ba(kfs)
+            T_ref_dev = T_kf_dev = None
+            if pending is not None and not self.config.optimization.async_ba:
+                slot = pending["kf_slot"]
+                j_ref = slot.get(ref.keyframe_id)
+                j_kf = slot.get(kf.keyframe_id)
+                if j_ref is not None and j_kf is not None:
+                    T_ref_dev = pending["T"][j_ref]
+                    T_kf_dev = pending["T"][j_kf]
+            if tri_mask is not None and tri_mask.any():
+                tri_dev = self._triangulate_dispatch(
+                    kf, ref, ti, T_ref=T_ref_dev, T_kf=T_kf_dev
                 )
-        if self.loop_closing is not None:
-            # A closure rewrites every keyframe pose + landmark; the
-            # reference/arena swap below re-reads them, so the compiled
-            # state picks the corrected map up automatically.
-            self.loop_closing.process_keyframe(kf)
+            if self.config.optimization.async_ba:
+                self._ba_pending = pending
+                if tri_dev is not None:
+                    pts_np, good_np = jax.device_get(tri_dev)
+                    created = self._insert_triangulated(
+                        kf, ref, ti, tri_mask, pts_np, good_np
+                    )
+            else:
+                fetch = list(tri_dev) if tri_dev is not None else []
+                if pending is not None:
+                    fetch += [pending["T"], pending["X"], pending["info"]]
+                fetched = jax.device_get(tuple(fetch)) if fetch else ()
+                idx = 0
+                gauge = None
+                if tri_dev is not None:
+                    pts_np, good_np = fetched[0], fetched[1]
+                    idx = 2
+                if pending is not None:
+                    pending["T"], pending["X"], pending["info"] = fetched[idx:idx + 3]
+                    res = self.optimizer.solve_finish(pending)
+                    gauge = res.get("gauge_transform")
+                    if gauge is not None:
+                        self.map.record_gauge_transform(*gauge)
+                if tri_dev is not None:
+                    if gauge is not None:
+                        # Points were triangulated from post-solve poses;
+                        # carry them through the same similarity the gauge
+                        # renorm applied to those poses on host.
+                        s, b = gauge
+                        pts_np = s * np.asarray(pts_np) + b
+                    created = self._insert_triangulated(
+                        kf, ref, ti, tri_mask, pts_np, good_np
+                    )
+            if self.loop_closing is not None:
+                # A closure rewrites every keyframe pose + landmark; the
+                # reference/arena swap below re-reads them, so the compiled
+                # state picks the corrected map up automatically.
+                self.loop_closing.process_keyframe(kf)
         T_new = kf.T_w2c if self.map.num_keyframes() > 2 else T
         self._install_reference(kf, T_init=T_new)
+        self.logger.debug(
+            "promote(%s): %d matches (%d to landmarks), %d inherited, "
+            "%d triangulated, kf landmarks %d",
+            "heavy" if heavy else "light", int(m_ok.sum()),
+            int((m_ok & ref_mask[ti]).sum()), int(inherited.sum()), created,
+            kf.num_map_points(),
+        )
 
     def _create_stereo_points(self, kf: KeyFrame, out) -> int:
         import jax
@@ -785,18 +1105,21 @@ class CompiledSLAM:
                 created += 1
         return created
 
-    def _triangulate(self, kf: KeyFrame, ref: KeyFrame, ti, tri_mask, out) -> int:
-        import jax
-
+    def _triangulate_dispatch(self, kf: KeyFrame, ref: KeyFrame, ti,
+                              T_ref=None, T_kf=None):
+        """Submit the fused boundary triangulation (ops.triangulation.
+        triangulate_gated; eager op-by-op math here cost 300-700 ms/keyframe
+        through the relay dispatch path). Returns device (pts3d, good) —
+        fetch rides the boundary's single round trip. ``T_ref``/``T_kf``
+        override the camera poses with device arrays (e.g. the in-flight BA
+        solve's output slots) so the dispatch chains on the solve with no
+        host sync."""
         lcfg = self.config.local_mapping
         thresh_n = self.config.tracking.pnp_threshold_px / float(self.camera.fx)
-        # One fused program (ops.triangulation.triangulate_gated) + one
-        # batched fetch per boundary — eager op-by-op math here cost
-        # 300-700 ms/keyframe through the relay dispatch path.
         pts3d, good = tri_ops.triangulate_gated(
             jnp.asarray(self.camera.Kinv, jnp.float32),
-            jnp.asarray(ref.T_w2c, jnp.float32),
-            jnp.asarray(kf.T_w2c, jnp.float32),
+            jnp.asarray(ref.T_w2c, jnp.float32) if T_ref is None else T_ref,
+            jnp.asarray(kf.T_w2c, jnp.float32) if T_kf is None else T_kf,
             np.asarray(ref.get_features(0).xy)[np.asarray(ti)],
             np.asarray(kf.get_features(0).xy),
             np.float32(lcfg.min_depth),
@@ -804,7 +1127,9 @@ class CompiledSLAM:
             np.float32(np.deg2rad(lcfg.min_parallax_deg)),
             np.float32(thresh_n),
         )
-        good_np, pts_np = jax.device_get((good, pts3d))  # one batched fetch
+        return pts3d, good
+
+    def _insert_triangulated(self, kf, ref, ti, tri_mask, pts_np, good_np) -> int:
         good_np = np.asarray(good_np) & tri_mask
         pts_np = np.asarray(pts_np)
         desc_np = np.asarray(kf.get_features(0).desc)
@@ -816,3 +1141,10 @@ class CompiledSLAM:
             self.map.add_map_point(mp)
             created += 1
         return created
+
+    def _triangulate(self, kf: KeyFrame, ref: KeyFrame, ti, tri_mask, out) -> int:
+        import jax
+
+        pts3d, good = self._triangulate_dispatch(kf, ref, ti)
+        good_np, pts_np = jax.device_get((good, pts3d))
+        return self._insert_triangulated(kf, ref, ti, tri_mask, pts_np, good_np)

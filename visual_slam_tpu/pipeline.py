@@ -276,6 +276,143 @@ def make_track_chunk(track_step):
     return chunk
 
 
+class PromoteRecord(NamedTuple):
+    """Per-frame record of an in-chunk device-side keyframe promotion
+    (:func:`make_track_chunk_promote`). ``ref_pos``/``ref_has`` are the
+    post-promotion reference landmark block (per current-frame keypoint
+    slot) — the host rebuilds the promoted KeyFrame and its new landmarks
+    from these without any extra dispatch."""
+
+    promoted: jnp.ndarray  # () bool
+    ref_pos: jnp.ndarray  # (K, 3)
+    ref_has: jnp.ndarray  # (K,) bool
+
+
+def make_track_chunk_promote(
+    track_step,
+    K: jnp.ndarray,
+    min_inliers: int = 15,
+    keyframe_interval: int = 4,
+    kf_min_matches: int = 60,
+    kf_min_rotation_deg: float = 10.0,
+    kf_min_translation: float = 1.0,
+    min_depth: float = 0.1,
+    max_depth: float = 1e6,
+    min_parallax_deg: float = 0.5,
+    pnp_threshold_px: float = 3.0,
+):
+    """Chunked tracking with IN-CHUNK keyframe promotion: the scan body
+    evaluates the keyframe gates (interval / match decay / rotation /
+    translation — the same policy models/compiled_slam.py applies at chunk
+    boundaries) every frame, ON DEVICE, and on trigger swaps the reference
+    block to the current frame — inheriting landmark positions from the
+    guided-arena and reference associations and triangulating fresh ones
+    against the old reference (ops.triangulation.triangulate_gated) — all
+    inside the ONE compiled program.
+
+    This removes the map-starvation ceiling on chunk size: a plain chunk
+    (make_track_chunk) holds the reference fixed for chunk_size frames, so
+    sequences whose feature matches decay in ~4 frames cap chunk_size at 4
+    and with it the amortization of per-dispatch relay latency + host
+    boundary work. With self-promotion the device keeps its own reference
+    fresh and chunk_size can grow to 8-16; the host trails at chunk
+    boundaries, rebuilding the promoted keyframes from the emitted
+    :class:`PromoteRecord`s (zero extra dispatches) and re-installing a
+    BA-corrected state.
+
+    Returns ``chunk(state, fsr, T_ref, imgs (C, ...)) -> (state, fsr,
+    T_ref, outs, recs)`` where ``fsr`` is frames-since-reference (int32)
+    and ``T_ref`` the current reference pose — both re-seeded by the host
+    at every boundary.
+    """
+    from .ops import orb as orb_ops
+    from .ops.lie import rotation_angle
+    from .ops.triangulation import triangulate_gated
+
+    import numpy as np
+
+    inner = track_step.jitted
+    Kinv = jnp.linalg.inv(K)
+    rot_thresh = float(np.deg2rad(kf_min_rotation_deg))
+    par_thresh = float(np.deg2rad(min_parallax_deg))
+    reproj_n = float(pnp_threshold_px / np.asarray(K)[0, 0])
+
+    def promote_block(s: TrackState, out: TrackOutput, T_ref):
+        """New reference block from the current frame's associations."""
+        ti = out.match_train_idx
+        inl = out.pnp_inliers
+        g_ok = out.guided_valid & inl
+        has_ref = s.ref_has_landmark[ti]
+        inherit_ref = out.match_valid & inl & has_ref & ~g_ok
+        pos = s.ref_landmarks[ti]
+        if s.lm_pos is not None:
+            pos = jnp.where(g_ok[:, None], s.lm_pos[out.guided_idx], pos)
+        has = g_ok | inherit_ref
+        tri_cand = out.match_valid & ~has_ref & ~has
+        pts_tri, tri_good = triangulate_gated(
+            Kinv, T_ref, out.T_w2c,
+            s.ref_feats.xy[ti], out.features.xy,
+            jnp.float32(min_depth), jnp.float32(max_depth),
+            jnp.float32(par_thresh), jnp.float32(reproj_n),
+        )
+        tri_ok = tri_cand & tri_good
+        pos = jnp.where(tri_ok[:, None], pts_tri, pos)
+        has = has | tri_ok
+        s2 = s._replace(
+            ref_feats=out.features, ref_landmarks=pos, ref_has_landmark=has
+        )
+        return s2, pos, has
+
+    @jax.jit
+    def _chunk(state: TrackState, fsr, T_ref, imgs, sampling):
+        def body(carry, img):
+            s, fsr, T_ref = carry
+            s, out = inner(s, img, sampling)
+            fsr = fsr + 1
+            ok = out.n_inliers >= min_inliers
+            rot = rotation_angle(out.T_w2c[:3, :3] @ T_ref[:3, :3].T)
+            C_cur = -out.T_w2c[:3, :3].T @ out.T_w2c[:3, 3]
+            C_ref = -T_ref[:3, :3].T @ T_ref[:3, 3]
+            trigger = (
+                (fsr > keyframe_interval)
+                | (out.n_inliers < kf_min_matches)
+                | (rot > rot_thresh)
+                | (jnp.linalg.norm(C_cur - C_ref) > kf_min_translation)
+            )
+            promote = ok & trigger
+            s, ref_pos, ref_has = jax.lax.cond(
+                promote,
+                promote_block,
+                lambda s, out, T_ref: (
+                    s,
+                    jnp.zeros_like(s.ref_landmarks),
+                    jnp.zeros_like(s.ref_has_landmark),
+                ),
+                s, out, T_ref,
+            )
+            fsr = jnp.where(promote, 0, fsr)
+            T_ref = jnp.where(promote, out.T_w2c, T_ref)
+            rec = PromoteRecord(promoted=promote, ref_pos=ref_pos, ref_has=ref_has)
+            return (s, fsr, T_ref), (out, rec)
+
+        (s, fsr, T_ref), (outs, recs) = jax.lax.scan(
+            body, (state, fsr, T_ref), imgs
+        )
+        return s, fsr, T_ref, outs, recs
+
+    def chunk(state: TrackState, fsr, T_ref, imgs: jnp.ndarray):
+        return _chunk(
+            state,
+            jnp.asarray(fsr, jnp.int32),
+            jnp.asarray(T_ref, jnp.float32),
+            imgs,
+            orb_ops.sampling_matrix(),
+        )
+
+    chunk.jitted = _chunk
+    return chunk
+
+
 def make_frame_step(
     K: jnp.ndarray,
     width: float,
