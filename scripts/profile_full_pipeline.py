@@ -41,15 +41,28 @@ def main():
     import jax
 
     print("device:", jax.devices()[0])
+    chunk = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    devpromo = "devpromo" in sys.argv[2:]
+    heavy_every = 1
+    for a in sys.argv[2:]:
+        if a.startswith("heavy"):
+            heavy_every = int(a[5:])
     num_features = 2000
     frames, K_np, Ts_gt = bench.synth_kitti_frames(
-        n_frames=40, seed=3, step=0.6, n_sprites=1500
+        n_frames=80, seed=3, step=0.6, n_sprites=1500
     )
     cfg = Config()
     cfg.feature.num_features = num_features
     cfg.tracking.keyframe_interval = 4
-    cfg.tracking.chunk_size = 4
+    cfg.tracking.chunk_size = chunk
+    cfg.tracking.device_promotion = devpromo
+    cfg.tracking.heavy_boundary_every = heavy_every
     cfg.optimization.max_points = 4096
+    if devpromo:
+        # Match run_fullpipe_tpu.py: hold ONE BA shape for the whole run.
+        cfg.optimization.window_size = 16
+        cfg.optimization.pose_bucket_floor = 64
+        cfg.optimization.point_bucket_floor = 4096
     cfg.initialization.min_inliers = 100
     cam = PinholeCamera(
         width=frames[0].shape[1], height=frames[0].shape[0],
@@ -61,6 +74,8 @@ def main():
     slam._decide = timed("decide")(slam._decide)
     slam._run_chunk = timed("run_chunk_total")(slam._run_chunk)
     slam._promote_keyframe = timed("promote_total")(slam._promote_keyframe)
+    slam._adopt_device_keyframe = timed("adopt_kf")(slam._adopt_device_keyframe)
+    slam._boundary_heavy = timed("boundary_heavy")(slam._boundary_heavy)
     slam._triangulate = timed("promote.triangulate")(slam._triangulate)
     slam._install_reference = timed("promote.install_ref")(slam._install_reference)
     slam._refresh_arena = timed("promote.refresh_arena")(slam._refresh_arena)
@@ -75,9 +90,9 @@ def main():
 
     chunk_inner = slam._chunk
 
-    def chunk_timed(state, imgs):
+    def chunk_timed(*a):
         t0 = time.perf_counter()
-        out = chunk_inner(state, imgs)
+        out = chunk_inner(*a)
         TIMER.add("chunk_dispatch", time.perf_counter() - t0)
         return out
 
@@ -98,7 +113,10 @@ def main():
         slam.track([frames[i]], timestamp=i * 0.1)
         i += 1
     assert slam.state.name == "OK", "bootstrap failed"
-    warm_end = min(i + 9, len(frames) - 8)  # two chunk cycles of compiles
+    # Warm through at least two full chunk cycles INCLUDING a heavy
+    # boundary so every shape is compiled before the timed window.
+    warm_end = min(i + 2 * max(chunk, 4) * max(heavy_every, 1) + 1,
+                   len(frames) - 2 * max(chunk, 8))
     while i < warm_end:
         slam.track([frames[i]], timestamp=i * 0.1)
         i += 1

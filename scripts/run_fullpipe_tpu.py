@@ -33,6 +33,16 @@ def run(chunk=8, dtype="u8", n_frames=64, async_ba=False, heavy_every=1,
     cfg.tracking.device_promotion = devpromo
     cfg.optimization.max_points = 4096
     cfg.optimization.async_ba = async_ba
+    if devpromo:
+        # Device promotion mints more keyframes/landmarks than the host
+        # boundary path (19 KFs / ~1300 landmarks on this sequence), which
+        # blows the default (16, 1024) BA bucket floors MID-RUN — each
+        # fresh shape is a 7-13 s compile inside the timed window. Hold ONE
+        # shape for the whole run: global BA while <= 2x16 keyframes with
+        # floors (64, 4096).
+        cfg.optimization.window_size = 16
+        cfg.optimization.pose_bucket_floor = 64
+        cfg.optimization.point_bucket_floor = 4096
     cfg.initialization.min_inliers = 100
     cam = PinholeCamera(width=frames[0].shape[1], height=frames[0].shape[0],
                         K=np.asarray(K_np, np.float64))
