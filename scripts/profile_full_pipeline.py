@@ -83,6 +83,8 @@ def main():
     opt._pack = timed("ba.pack")(opt._pack)
     orig_solve = opt._solve_and_writeback
     opt._solve_and_writeback = timed("ba.solve_writeback")(orig_solve)
+    opt.solve_start = timed("ba.start")(opt.solve_start)
+    opt.solve_finish = timed("ba.finish")(opt.solve_finish)
     if slam.loop_closing is not None:
         slam.loop_closing.process_keyframe = timed("loop_closing")(
             slam.loop_closing.process_keyframe
@@ -101,9 +103,17 @@ def main():
     dg = jax.device_get
 
     def dg_timed(x):
+        # Split compute-wait (block_until_ready: device still running) from
+        # transfer (the actual host copy through the relay) so we can tell
+        # whether the chunk sync is compute-bound or fetch-bandwidth-bound.
         t0 = time.perf_counter()
+        jax.block_until_ready(x)
+        t1 = time.perf_counter()
         r = dg(x)
-        TIMER.add("device_get", time.perf_counter() - t0)
+        t2 = time.perf_counter()
+        TIMER.add("device_get", t2 - t0)
+        TIMER.add("dg.compute_wait", t1 - t0)
+        TIMER.add("dg.fetch", t2 - t1)
         return r
 
     jax.device_get = dg_timed

@@ -12,7 +12,7 @@ import bench
 
 
 def run(chunk=8, dtype="u8", n_frames=64, async_ba=False, heavy_every=1,
-        devpromo=False):
+        devpromo=False, pose_floor=None, compact=None):
     import time
 
     from visual_slam_tpu.camera import PinholeCamera
@@ -26,6 +26,10 @@ def run(chunk=8, dtype="u8", n_frames=64, async_ba=False, heavy_every=1,
     if dtype == "u8":
         frames = [np.clip(f, 0, 255).astype(np.uint8) for f in frames]
     cfg = Config()
+    if dtype == "f16":
+        cfg.tracking.upload_f16 = True
+    if compact is not None:
+        cfg.tracking.compact_fetch_promos = compact
     cfg.feature.num_features = 2000
     cfg.tracking.keyframe_interval = 4
     cfg.tracking.chunk_size = chunk
@@ -41,7 +45,7 @@ def run(chunk=8, dtype="u8", n_frames=64, async_ba=False, heavy_every=1,
         # shape for the whole run: global BA while <= 2x16 keyframes with
         # floors (64, 4096).
         cfg.optimization.window_size = 16
-        cfg.optimization.pose_bucket_floor = 64
+        cfg.optimization.pose_bucket_floor = pose_floor or 64
         cfg.optimization.point_bucket_floor = 4096
     cfg.initialization.min_inliers = 100
     cam = PinholeCamera(width=frames[0].shape[1], height=frames[0].shape[0],
@@ -54,7 +58,10 @@ def run(chunk=8, dtype="u8", n_frames=64, async_ba=False, heavy_every=1,
         slam.track([frames[i]], timestamp=i * 0.1)
         i += 1
     assert slam.state.name == "OK"
-    warm_end = min(i + 2 * max(chunk, 4), len(frames) - 8)
+    # Warm through TWO full heavy-boundary cycles so every shape (chunk
+    # scan, compaction, BA bucket) compiles before the timed window.
+    warm_end = min(i + 2 * max(chunk, 4) * max(heavy_every, 1) + 1,
+                   len(frames) - 2 * max(chunk, 8))
     while i < warm_end:
         slam.track([frames[i]], timestamp=i * 0.1)
         i += 1
@@ -74,7 +81,7 @@ def run(chunk=8, dtype="u8", n_frames=64, async_ba=False, heavy_every=1,
     res = ate_rmse(est, gt, align_scale=True)
     path_len = float(np.linalg.norm(np.diff(gt, axis=0), axis=1).sum())
     print(
-        f"RESULT chunk={chunk} dtype={dtype} async={async_ba} heavy_every={heavy_every} devpromo={devpromo}: fps={n_timed/dt:.2f} "
+        f"RESULT chunk={chunk} dtype={dtype} async={async_ba} heavy_every={heavy_every} devpromo={devpromo} pose_floor={pose_floor} compact={compact}: fps={n_timed/dt:.2f} "
         f"ate_pct={100*res['rmse']/path_len:.3f} kfs={slam.map.num_keyframes()} "
         f"landmarks={slam.map.num_map_points()} state={slam.state.name}",
         flush=True,
@@ -87,8 +94,14 @@ if __name__ == "__main__":
     async_ba = "async" in sys.argv[3:]
     devpromo = "devpromo" in sys.argv[3:]
     heavy_every = 1
+    pose_floor = None
+    compact = None
     for a in sys.argv[3:]:
         if a.startswith("heavy"):
             heavy_every = int(a[5:])
+        if a.startswith("pf"):
+            pose_floor = int(a[2:])
+        if a.startswith("compact"):
+            compact = int(a[7:])
     run(chunk, dtype, async_ba=async_ba, heavy_every=heavy_every,
-        devpromo=devpromo)
+        devpromo=devpromo, pose_floor=pose_floor, compact=compact)

@@ -112,6 +112,21 @@ class TrackingConfig:
     # run only every Nth promotion — or immediately when tracking thins.
     # 1 = every boundary is heavy (per-frame-mode behavior).
     heavy_boundary_every: int = 1
+    # Upload float camera frames as float16: half the relay bytes of f32
+    # (measured ~6 ms/KITTI frame f32) at ~0.12-gray-level quantization.
+    # Default OFF: the small synthetic test worlds carry their texture in
+    # anti-aliased edge fractions and a marginal sequence measurably flips
+    # with the rounding (same mechanism as the u8 finding, CLAUDE.md);
+    # KITTI-scale deployments with richer texture can opt in (bench does,
+    # ATE-checked). uint8 input passes through unchanged either way.
+    upload_f16: bool = False
+    # Chunked devpromo boundary fetch: gather the decision scalars + the
+    # promoted frames' feature blocks into a fixed-capacity compact struct
+    # ON DEVICE and fetch only that (~4x less payload than the full stacked
+    # chunk output at chunk_size 8). Capacity = promotions per chunk the
+    # compact block can carry; overflow or brute recovery falls back to a
+    # second full fetch (rare). 0 disables (always fetch the full output).
+    compact_fetch_promos: int = 4
     # Depth-aware tracking (stereo disparity / RGB-D depth residual in PnP —
     # the second modality constrains pose every frame, not only at keyframes)
     use_depth_residual: bool = True

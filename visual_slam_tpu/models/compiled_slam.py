@@ -40,6 +40,8 @@ from ..map import Frame, KeyFrame, Map, MapPoint
 from ..ops import triangulation as tri_ops
 from ..ops.projection import normalize_points
 from ..pipeline import (
+    PromoteRecord,
+    TrackOutput,
     init_track_state,
     make_track_chunk,
     make_track_chunk_promote,
@@ -133,6 +135,16 @@ class CompiledSLAM:
             )
         else:
             self._chunk = make_track_chunk(self._step)
+        # Slim boundary fetch (devpromo only): gather scalars + promoted-
+        # frame blocks on device, sync the compact struct instead of the
+        # full stacked chunk output (config.tracking.compact_fetch_promos).
+        self._compact_P = int(getattr(tcfg, "compact_fetch_promos", 0))
+        if self._dev_promo and self._compact_P > 0:
+            from ..pipeline import make_compact_chunk
+
+            self._compact_fn = make_compact_chunk(self._compact_P)
+        else:
+            self._compact_fn = None
         self._chunk_buf: list[tuple[object, float]] = []  # (img_host, ts)
         self._promos_since_heavy = 0
         # Previous frame's step output, deferred for the host decision:
@@ -414,8 +426,21 @@ class CompiledSLAM:
             l, r = imgs[0], imgs[1]
             if isinstance(l, jax.Array) or isinstance(r, jax.Array):
                 return jnp.stack([jnp.asarray(l), jnp.asarray(r)])
-            return np.stack([l, r])
-        return imgs[0]
+            return np.stack([self._upload_cast(l), self._upload_cast(r)])
+        return self._upload_cast(imgs[0])
+
+    def _upload_cast(self, im):
+        """Float frames upload as f16 (half the relay bytes; ~0.12-gray-level
+        quantization preserves the anti-aliased edge texture u8 rounding
+        destroys — config.tracking.upload_f16). Integer frames pass through
+        (u8 is already the cheapest). The detector casts to f32 on device."""
+        if (
+            getattr(self.config.tracking, "upload_f16", False)
+            and isinstance(im, np.ndarray)
+            and im.dtype in (np.float32, np.float64)
+        ):
+            return im.astype(np.float16)
+        return im
 
     def _stack_imgs(self, imgs):
         import jax
@@ -568,9 +593,31 @@ class CompiledSLAM:
         T_block = outs.T_w2c if n == self._chunk_size else outs.T_w2c[:n]
         self.poses.append((ts_tuple, T_block, ref_kf, T_ref_snap))
 
-        outs, recs = jax.device_get((outs, recs))  # ONE sync per chunk
-        n_inl_all = np.asarray(outs.n_inliers)[:n]
-        promoted = np.asarray(recs.promoted)[:n]
+        # ONE sync per chunk. With compact fetch the sync moves only the
+        # decision scalars + the promoted frames' blocks (device-gathered by
+        # pipeline.make_compact_chunk); the full stacked output is fetched
+        # only on slot overflow or brute recovery (both rare).
+        comp = None
+        outs_h = recs_h = None
+        if self._compact_fn is not None:
+            comp = jax.device_get(self._compact_fn(outs, recs))
+            if int(comp.n_promoted) > self._compact_P:
+                self.logger.debug(
+                    "compact fetch overflow (%d promos > %d slots): full fetch",
+                    int(comp.n_promoted), self._compact_P,
+                )
+                outs_h, recs_h = jax.device_get((outs, recs))
+                comp = None
+        else:
+            outs_h, recs_h = jax.device_get((outs, recs))
+        if comp is not None:
+            n_inl_all = np.asarray(comp.n_inliers)[:n]
+            promoted = np.asarray(comp.promoted)[:n]
+            T_all_np = np.asarray(comp.T_w2c)
+        else:
+            n_inl_all = np.asarray(outs_h.n_inliers)[:n]
+            promoted = np.asarray(recs_h.promoted)[:n]
+            T_all_np = np.asarray(outs_h.T_w2c)
         tcfg = self.config.tracking
         last = n - 1
         info = {
@@ -585,9 +632,29 @@ class CompiledSLAM:
         promo_idx = np.nonzero(promoted)[0]
         cur_ref = ref_kf
         new_kfs = []
-        for f in promo_idx:
-            out_f = jax.tree.map(lambda a: a[f], outs)
-            rec_f = jax.tree.map(lambda a: a[f], recs)
+        for s, f in enumerate(promo_idx):
+            if comp is not None:
+                # Slot s of the compact struct is the s-th promoted frame
+                # (device-side sort by frame index matches promo_idx order).
+                out_f = TrackOutput(
+                    T_w2c=T_all_np[f],
+                    n_inliers=n_inl_all[f],
+                    n_matches=np.asarray(comp.n_matches)[f],
+                    features=jax.tree.map(lambda a: a[s], comp.feats),
+                    match_train_idx=np.asarray(comp.match_train_idx)[s],
+                    match_valid=np.asarray(comp.match_valid)[s],
+                    pnp_inliers=np.asarray(comp.pnp_inliers)[s],
+                    guided_idx=np.asarray(comp.guided_idx)[s],
+                    guided_valid=np.asarray(comp.guided_valid)[s],
+                )
+                rec_f = PromoteRecord(
+                    promoted=True,
+                    ref_pos=np.asarray(comp.ref_pos)[s],
+                    ref_has=np.asarray(comp.ref_has)[s],
+                )
+            else:
+                out_f = jax.tree.map(lambda a: a[f], outs_h)
+                rec_f = jax.tree.map(lambda a: a[f], recs_h)
             kf = self._adopt_device_keyframe(
                 out_f, rec_f, ts_tuple[f], cur_ref, arena
             )
@@ -610,9 +677,9 @@ class CompiledSLAM:
                 # uncorrected reset rewinds the motion model by the frames
                 # tracked since promotion — observed death spiral).
                 self._install_reference(kf_last, T_init=kf_last.T_w2c)
-                T_kf_old = np.asarray(outs.T_w2c[promo_idx[-1]], np.float64)
+                T_kf_old = np.asarray(T_all_np[promo_idx[-1]], np.float64)
                 T_state = (
-                    np.asarray(outs.T_w2c[last], np.float64)
+                    np.asarray(T_all_np[last], np.float64)
                     @ np.linalg.inv(T_kf_old)
                     @ kf_last.T_w2c
                 )
@@ -628,7 +695,13 @@ class CompiledSLAM:
         else:
             self._frames_since_kf += n
         if n_inl_all[last] < tcfg.min_inliers:
-            out_last = jax.tree.map(lambda a: a[last], outs)
+            if outs_h is None:
+                # Compact path: recovery needs the last frame's full block —
+                # fetch it now (failure path only; not worth widening the
+                # steady-state sync for).
+                out_last = jax.device_get(jax.tree.map(lambda a: a[last], outs))
+            else:
+                out_last = jax.tree.map(lambda a: a[last], outs_h)
             rec = self._brute_recover(out_last, ts_tuple[-1])
             if rec is not None:
                 info.update(rec)

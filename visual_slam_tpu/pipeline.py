@@ -413,6 +413,67 @@ def make_track_chunk_promote(
     return chunk
 
 
+class CompactChunk(NamedTuple):
+    """Slimmed boundary fetch for the devpromo chunk: the decision scalars
+    for every frame plus the FULL per-keypoint blocks for only the promoted
+    frames (gathered on device into ``P`` fixed slots). At chunk_size 8 with
+    the typical 1-2 promotions this is ~4x less relay payload than fetching
+    the whole stacked TrackOutput+PromoteRecord (measured 55 ms/chunk fetch
+    through the relay at the full payload)."""
+
+    # Per-frame decision scalars (C, ...): tiny.
+    T_w2c: jnp.ndarray
+    n_inliers: jnp.ndarray
+    n_matches: jnp.ndarray
+    promoted: jnp.ndarray
+    n_promoted: jnp.ndarray  # () int32 — host checks overflow (> P slots)
+    # Promoted-frame blocks (P, ...): slot i holds the i-th promoted frame.
+    slot_frame: jnp.ndarray  # (P,) int32 frame index within chunk, C if empty
+    feats: Features  # (P, K, ...) promoted frames' features
+    match_train_idx: jnp.ndarray  # (P, K)
+    match_valid: jnp.ndarray  # (P, K)
+    pnp_inliers: jnp.ndarray  # (P, K)
+    guided_idx: jnp.ndarray  # (P, K)
+    guided_valid: jnp.ndarray  # (P, K)
+    ref_pos: jnp.ndarray  # (P, K, 3) post-promotion reference landmarks
+    ref_has: jnp.ndarray  # (P, K)
+
+
+def make_compact_chunk(P: int):
+    """Build the jitted on-device compaction ``(outs, recs) -> CompactChunk``
+    dispatched right after the chunk program (chained on its outputs, ~zero
+    compute) so the boundary's single sync moves the slim struct only."""
+
+    @jax.jit
+    def compact(outs: TrackOutput, recs: PromoteRecord) -> CompactChunk:
+        C = outs.T_w2c.shape[0]
+        order = jnp.where(recs.promoted, jnp.arange(C), C)
+        slots = jnp.sort(order)[:P]  # ascending promoted frame indices
+        idx = jnp.minimum(slots, C - 1)
+
+        def g(a):
+            return a[idx]
+
+        return CompactChunk(
+            T_w2c=outs.T_w2c,
+            n_inliers=outs.n_inliers,
+            n_matches=outs.n_matches,
+            promoted=recs.promoted,
+            n_promoted=jnp.sum(recs.promoted.astype(jnp.int32)),
+            slot_frame=slots.astype(jnp.int32),
+            feats=jax.tree.map(g, outs.features),
+            match_train_idx=g(outs.match_train_idx),
+            match_valid=g(outs.match_valid),
+            pnp_inliers=g(outs.pnp_inliers),
+            guided_idx=g(outs.guided_idx),
+            guided_valid=g(outs.guided_valid),
+            ref_pos=g(recs.ref_pos),
+            ref_has=g(recs.ref_has),
+        )
+
+    return compact
+
+
 def make_frame_step(
     K: jnp.ndarray,
     width: float,
