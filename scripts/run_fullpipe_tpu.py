@@ -28,6 +28,8 @@ def run(chunk=8, dtype="u8", n_frames=64, async_ba=False, heavy_every=1,
     cfg = Config()
     if dtype == "f16":
         cfg.tracking.upload_f16 = True
+    if async_ba == "boundary":
+        cfg.tracking.async_boundary = True
     if compact is not None:
         cfg.tracking.compact_fetch_promos = compact
     cfg.feature.num_features = 2000
@@ -36,7 +38,7 @@ def run(chunk=8, dtype="u8", n_frames=64, async_ba=False, heavy_every=1,
     cfg.tracking.heavy_boundary_every = heavy_every
     cfg.tracking.device_promotion = devpromo
     cfg.optimization.max_points = 4096
-    cfg.optimization.async_ba = async_ba
+    cfg.optimization.async_ba = async_ba is True
     if devpromo:
         # Device promotion mints more keyframes/landmarks than the host
         # boundary path (19 KFs / ~1300 landmarks on this sequence), which
@@ -92,6 +94,8 @@ if __name__ == "__main__":
     chunk = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     dtype = sys.argv[2] if len(sys.argv) > 2 else "u8"
     async_ba = "async" in sys.argv[3:]
+    if "asyncb" in sys.argv[3:]:
+        async_ba = "boundary"
     devpromo = "devpromo" in sys.argv[3:]
     heavy_every = 1
     pose_floor = None

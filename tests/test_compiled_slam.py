@@ -266,3 +266,32 @@ def test_compiled_slam_device_promotion():
     gt = np.stack([-Ts_gt[i][:3, :3].T @ Ts_gt[i][:3, 3] for i in idx])
     res = ate_rmse(est, gt, align_scale=True)
     assert res["rmse"] < 0.45, res
+
+
+def test_compiled_slam_async_boundary():
+    """Async heavy boundaries (tracking.async_boundary): the solve
+    dispatched at one chunk boundary is written back at the next, and the
+    device carry is re-anchored by the similarity correction
+    (pipeline.apply_correction) instead of a host reference re-install.
+    Must track the whole sequence at accuracy comparable to the
+    synchronous devpromo path (same world, same gates)."""
+    rng = np.random.default_rng(42)
+    frames, Ts_gt, K, world = render_sequence(rng, n_frames=17, step=0.3)
+    cam = PinholeCamera(width=frames[0].shape[1], height=frames[0].shape[0], K=K)
+    cfg = small_config()
+    cfg.tracking.chunk_size = 7
+    cfg.tracking.device_promotion = True
+    cfg.tracking.async_boundary = True
+    slam = CompiledSLAM(cam, cfg)
+    infos = [slam.track([img], timestamp=i * 0.1) for i, img in enumerate(frames)]
+    slam.shutdown()  # flushes the partial chunk + the in-flight solve
+    assert slam.state == State.OK, [i["state"] for i in infos]
+    assert slam.map.num_keyframes() >= 3
+    ts, Ts = slam.trajectory()
+    assert ts.tolist() == sorted(ts.tolist())
+    assert slam.num_frames_tracked() == len(ts) >= 14
+    idx = [int(round(t / 0.1)) for t in ts]
+    est = np.stack([-T[:3, :3].T @ T[:3, 3] for T in Ts])
+    gt = np.stack([-Ts_gt[i][:3, :3].T @ Ts_gt[i][:3, 3] for i in idx])
+    res = ate_rmse(est, gt, align_scale=True)
+    assert res["rmse"] < 0.45, res

@@ -106,6 +106,15 @@ class TrackingConfig:
     # keyframes from the chunk's PromoteRecords at the boundary. Mono only
     # (stereo boundaries need the host's instant-depth landmark path).
     device_promotion: bool = False
+    # Asynchronous heavy boundaries (devpromo only): BA dispatches at one
+    # chunk boundary and is written back at the NEXT (where its results are
+    # already resident — zero wait), pulling solve compute + fetch off the
+    # critical path. The device carry is re-anchored into the post-solve
+    # world by a similarity correction (pipeline.apply_correction) computed
+    # from the solved keyframe's pose change — the device's own (fresher)
+    # self-promoted reference features are never overwritten. fsr/T_ref
+    # chain device-side between chunks instead of host re-seeding.
+    async_boundary: bool = False
     # Chunked-mode boundary split: every promotion creates the keyframe,
     # inherits landmarks and refreshes the reference/arena (cheap, no device
     # sync), but triangulation + BA (two ~40 ms syncs each on the relay)

@@ -42,6 +42,8 @@ from ..ops.projection import normalize_points
 from ..pipeline import (
     PromoteRecord,
     TrackOutput,
+    apply_correction,
+    correction_similarity,
     init_track_state,
     make_track_chunk,
     make_track_chunk_promote,
@@ -147,6 +149,13 @@ class CompiledSLAM:
             self._compact_fn = None
         self._chunk_buf: list[tuple[object, float]] = []  # (img_host, ts)
         self._promos_since_heavy = 0
+        # Async heavy boundaries (config.tracking.async_boundary): the solve
+        # dispatched at one boundary finishes at the next; fsr/T_ref chain
+        # device-side so no host re-seed sits between chunks.
+        self._async_mode = bool(getattr(tcfg, "async_boundary", False)) and self._dev_promo
+        self._async_bnd: Optional[dict] = None
+        self._dev_fsr = None
+        self._dev_T_ref = None
         # Previous frame's step output, deferred for the host decision:
         # (out, timestamp, ref_kf, arena) — ref/arena AT SUBMIT TIME, so a
         # promotion triggered by an older frame cannot misalign the indices.
@@ -207,6 +216,7 @@ class CompiledSLAM:
         if self._pending is not None:
             pending, self._pending = self._pending, None
             info = self._decide(*pending)
+        self._finish_async_solve(correct_device=True)
         return info
 
     def trajectory(self) -> tuple[np.ndarray, np.ndarray]:
@@ -347,6 +357,10 @@ class CompiledSLAM:
     def _install_reference(self, kf: KeyFrame, T_init: np.ndarray) -> None:
         import jax
 
+        # A pending async solve targeted the carry this install is about to
+        # rebuild from host data: land its writeback on the host map first
+        # and drop the (now moot) device correction.
+        self._finish_async_solve(correct_device=False)
         pos, mask = kf.point_arrays(0)
         # Upload the reference block ONCE: keyframes store host-materialized
         # features (see _promote_keyframe), and numpy leaves left in the
@@ -362,6 +376,10 @@ class CompiledSLAM:
                 T_w2c=jnp.asarray(T_init, jnp.float32)
             )
         self._ref_kf = kf
+        # Device-chained promotion bookkeeping restarts at the installed
+        # reference (async boundaries never re-seed these from the host).
+        self._dev_fsr = jnp.int32(0)
+        self._dev_T_ref = jnp.asarray(T_init, jnp.float32)
         if self._arena_size:
             self._refresh_arena()
 
@@ -466,6 +484,8 @@ class CompiledSLAM:
         while len(imgs) < self._chunk_size:  # flush pads; padded outs ignored
             imgs.append(imgs[-1])
         if self._dev_promo:
+            if self._async_mode:
+                return self._run_chunk_devpromo_async(imgs, buf, n)
             return self._run_chunk_devpromo(imgs, buf, n)
         ref_kf, arena = self._ref_kf, self._lm_arena
         T_ref_snap = ref_kf.T_w2c.copy()
@@ -714,6 +734,185 @@ class CompiledSLAM:
             )
         return info
 
+    def _run_chunk_devpromo_async(self, imgs, buf, n: int) -> dict:
+        """Async-boundary devpromo chunk: the heavy solve dispatched at the
+        PREVIOUS boundary finishes here (its results are already resident —
+        the serial device ran it before this chunk), the device carry is
+        re-anchored into the post-solve world by one correction dispatch
+        (pipeline.apply_correction — no sync, the self-promoted reference
+        features stay), and this boundary's own solve is dispatched to
+        finish at the NEXT one. Critical path per boundary: chunk compute +
+        one slim fetch + host bookkeeping; solve compute and its fetch ride
+        the gaps."""
+        import jax
+
+        ref_kf, arena = self._ref_kf, self._lm_arena
+        T_ref_snap = ref_kf.T_w2c.copy()
+        # fsr/T_ref chain on DEVICE between chunks (corrected along with the
+        # carry); the host never re-seeds them in steady state.
+        self._track_state, self._dev_fsr, self._dev_T_ref, outs, recs = self._chunk(
+            self._track_state, self._dev_fsr, self._dev_T_ref,
+            self._stack_imgs(imgs),
+        )
+        ts_tuple = tuple(t for _, t in buf)
+        T_block = outs.T_w2c if n == self._chunk_size else outs.T_w2c[:n]
+        self.poses.append((ts_tuple, T_block, ref_kf, T_ref_snap))
+
+        comp = None
+        outs_h = recs_h = None
+        if self._compact_fn is not None:
+            comp = jax.device_get(self._compact_fn(outs, recs))
+            if int(comp.n_promoted) > self._compact_P:
+                outs_h, recs_h = jax.device_get((outs, recs))
+                comp = None
+        else:
+            outs_h, recs_h = jax.device_get((outs, recs))
+        if comp is not None:
+            n_inl_all = np.asarray(comp.n_inliers)[:n]
+            promoted = np.asarray(comp.promoted)[:n]
+            T_all_np = np.asarray(comp.T_w2c)
+        else:
+            n_inl_all = np.asarray(outs_h.n_inliers)[:n]
+            promoted = np.asarray(recs_h.promoted)[:n]
+            T_all_np = np.asarray(outs_h.T_w2c)
+        tcfg = self.config.tracking
+        last = n - 1
+        info = {
+            "state": self.state.name,
+            "n_inliers": int(n_inl_all[last]),
+            "chunk_frames": n,
+        }
+        # Land the previous boundary's solve: host-map writeback + loop
+        # closing, then the device-carry correction. This chunk's fetched
+        # world-frame data is re-anchored with the same similarity before
+        # replay so the adopted keyframes live in the post-solve world.
+        U = self._finish_async_solve(correct_device=True)
+
+        promo_idx = np.nonzero(promoted)[0]
+        cur_ref = ref_kf
+        new_kfs = []
+        for s, f in enumerate(promo_idx):
+            if comp is not None:
+                out_f = TrackOutput(
+                    T_w2c=T_all_np[f],
+                    n_inliers=n_inl_all[f],
+                    n_matches=np.asarray(comp.n_matches)[f],
+                    features=jax.tree.map(lambda a: a[s], comp.feats),
+                    match_train_idx=np.asarray(comp.match_train_idx)[s],
+                    match_valid=np.asarray(comp.match_valid)[s],
+                    pnp_inliers=np.asarray(comp.pnp_inliers)[s],
+                    guided_idx=np.asarray(comp.guided_idx)[s],
+                    guided_valid=np.asarray(comp.guided_valid)[s],
+                )
+                rec_f = PromoteRecord(
+                    promoted=True,
+                    ref_pos=np.asarray(comp.ref_pos)[s],
+                    ref_has=np.asarray(comp.ref_has)[s],
+                )
+            else:
+                out_f = jax.tree.map(lambda a: a[f], outs_h)
+                rec_f = jax.tree.map(lambda a: a[f], recs_h)
+            if U is not None:
+                R_u, t_u, sc = U
+                T = np.asarray(out_f.T_w2c, np.float64).copy()
+                R = T[:3, :3] @ R_u.T
+                T[:3, :3] = R
+                T[:3, 3] = sc * T[:3, 3] - R @ t_u
+                out_f = out_f._replace(T_w2c=T)
+                rec_f = rec_f._replace(
+                    ref_pos=sc * np.asarray(rec_f.ref_pos, np.float64) @ R_u.T + t_u
+                )
+            kf = self._adopt_device_keyframe(
+                out_f, rec_f, ts_tuple[f], cur_ref, arena
+            )
+            new_kfs.append(kf)
+            cur_ref = kf
+        if new_kfs:
+            kf_last = new_kfs[-1]
+            self._ref_kf = kf_last
+            self._frames_since_kf = last - int(promo_idx[-1])
+            # Keep the device's guided-matching arena fresh with the newly
+            # adopted landmarks (dispatch-only upload, no sync).
+            if self._arena_size:
+                self._refresh_arena()
+            heavy = (
+                tcfg.heavy_boundary_every <= 1
+                or self._promos_since_heavy + len(new_kfs)
+                >= tcfg.heavy_boundary_every
+            )
+            if heavy and self.map.num_keyframes() > 2:
+                self._promos_since_heavy = 0
+                kfs = self.map.get_keyframes()
+                if len(kfs) <= 2 * self.config.optimization.window_size:
+                    pending = self.optimizer.optimize_global_start(
+                        kfs, self.map.get_map_points()
+                    )
+                else:
+                    pending = self._start_local_ba(kfs)
+                if pending is not None:
+                    self._async_bnd = {
+                        "pending": pending,
+                        "anchor": kf_last,
+                        "T_pre": kf_last.T_w2c.copy(),
+                    }
+            else:
+                self._promos_since_heavy += len(new_kfs)
+            info["new_keyframe"] = True
+        else:
+            self._frames_since_kf += n
+        if n_inl_all[last] < tcfg.min_inliers:
+            if outs_h is None:
+                out_last = jax.device_get(jax.tree.map(lambda a: a[last], outs))
+            else:
+                out_last = jax.tree.map(lambda a: a[last], outs_h)
+            rec = self._brute_recover(out_last, ts_tuple[-1])
+            if rec is not None:
+                info.update(rec)
+                return info
+            self.state = State.LOST
+            info["state"] = self.state.name
+            self.logger.warning(
+                "compiled tracking lost (async devpromo chunk, %d inliers)",
+                int(n_inl_all[last]),
+            )
+        return info
+
+    def _finish_async_solve(self, correct_device: bool):
+        """Write back the solve dispatched at the previous async boundary
+        (results already resident), run loop closing on its anchor, and —
+        when ``correct_device`` — re-anchor the device carry into the
+        post-solve world with one similarity-correction dispatch. Returns
+        (R_u, t_u, s) when a non-identity correction was applied."""
+        if self._async_bnd is None:
+            return None
+        ab, self._async_bnd = self._async_bnd, None
+        anchor = ab["anchor"]
+        T_pre = np.asarray(ab["T_pre"], np.float64)
+        res = self.optimizer.solve_finish(ab["pending"])
+        g = res.get("gauge_transform")
+        if g is not None:
+            self.map.record_gauge_transform(*g)
+        if self.loop_closing is not None:
+            self.loop_closing.process_keyframe(anchor)
+        if not correct_device:
+            return None
+        s = float(g[0]) if g is not None else 1.0
+        T_new = np.asarray(anchor.T_w2c, np.float64)
+        R_u, t_u = correction_similarity(T_pre, T_new, s)
+        if (
+            abs(s - 1.0) < 1e-12
+            and np.allclose(R_u, np.eye(3), atol=1e-12)
+            and np.allclose(t_u, 0.0, atol=1e-12)
+        ):
+            return None
+        st, T_ref = apply_correction(
+            self._track_state, self._dev_T_ref,
+            jnp.asarray(R_u, jnp.float32), jnp.asarray(t_u, jnp.float32),
+            np.float32(s),
+        )
+        self._track_state, self._dev_T_ref = st, T_ref
+        return (R_u, t_u, s)
+
     def _adopt_device_keyframe(
         self, out, rec, timestamp: float, ref: KeyFrame, arena
     ) -> KeyFrame:
@@ -813,6 +1012,7 @@ class CompiledSLAM:
             self.loop_closing.process_keyframe(kf)
 
     def _apply_pending_ba(self) -> None:
+        self._finish_async_solve(correct_device=True)
         if self._ba_pending is None:
             return
         pending, self._ba_pending = self._ba_pending, None

@@ -439,6 +439,59 @@ class CompactChunk(NamedTuple):
     ref_has: jnp.ndarray  # (P, K)
 
 
+def correction_similarity(T_old: "np.ndarray", T_new: "np.ndarray", s: float):
+    """Host-side helper: the world-frame similarity ``x_new = s R_u x + t_u``
+    implied by one keyframe's BA/loop-closure pose update T_old -> T_new
+    (both w2c) plus the mono-gauge scale ``s``. Applying it to every device-
+    resident world quantity re-anchors a tracking state that ran ahead of an
+    asynchronously-finished solve (the ORB-SLAM relative-correction catch-up;
+    same construction as Map.record_gauge_transform's consumer side).
+
+    Derivation: physical camera coords scale with the gauge (c_new = s c),
+    so x_new = R_new^T(s c - t_new) with c = R_old x + t_old gives
+    R_u = R_new^T R_old and t_u = R_new^T (s t_old - t_new)."""
+    import numpy as np
+
+    R_old = np.asarray(T_old, np.float64)[:3, :3]
+    t_old = np.asarray(T_old, np.float64)[:3, 3]
+    R_new = np.asarray(T_new, np.float64)[:3, :3]
+    t_new = np.asarray(T_new, np.float64)[:3, 3]
+    R_u = R_new.T @ R_old
+    t_u = R_new.T @ (s * t_old - t_new)
+    return R_u, t_u
+
+
+@jax.jit
+def apply_correction(state: TrackState, T_ref, R_u, t_u, s):
+    """Re-anchor a device tracking state into a post-BA world frame without
+    any host round trip: landmarks move by the similarity x' = s R_u x + t_u,
+    w2c poses by R' = R R_u^T, t' = s t - R' t_u (keeps reprojection
+    invariant), and the constant-velocity model's translation scales by s.
+    Dispatched at the boundary AFTER an async solve finishes — the state's
+    own (fresher) reference features are preserved, only geometry moves."""
+    R_u = R_u.astype(jnp.float32)
+    t_u = t_u.astype(jnp.float32)
+    s = jnp.float32(s)
+
+    def fix_pose(T):
+        R = T[:3, :3] @ R_u.T
+        t = s * T[:3, 3] - R @ t_u
+        return T.at[:3, :3].set(R).at[:3, 3].set(t)
+
+    def fix_pts(x):
+        return x @ (s * R_u).T + t_u
+
+    T_rel = state.T_rel.at[:3, 3].multiply(s)
+    new = state._replace(
+        T_w2c=fix_pose(state.T_w2c),
+        T_rel=T_rel,
+        ref_landmarks=fix_pts(state.ref_landmarks),
+    )
+    if state.lm_pos is not None:
+        new = new._replace(lm_pos=fix_pts(state.lm_pos))
+    return new, fix_pose(T_ref)
+
+
 def make_compact_chunk(P: int):
     """Build the jitted on-device compaction ``(outs, recs) -> CompactChunk``
     dispatched right after the chunk program (chained on its outputs, ~zero
