@@ -44,9 +44,12 @@ def main():
     chunk = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     devpromo = "devpromo" in sys.argv[2:]
     heavy_every = 1
+    pose_floor = None
     for a in sys.argv[2:]:
         if a.startswith("heavy"):
             heavy_every = int(a[5:])
+        if a.startswith("pf"):
+            pose_floor = int(a[2:])
     num_features = 2000
     frames, K_np, Ts_gt = bench.synth_kitti_frames(
         n_frames=80, seed=3, step=0.6, n_sprites=1500
@@ -57,11 +60,15 @@ def main():
     cfg.tracking.chunk_size = chunk
     cfg.tracking.device_promotion = devpromo
     cfg.tracking.heavy_boundary_every = heavy_every
+    if "f16" in sys.argv[2:]:
+        cfg.tracking.upload_f16 = True
+    if "asyncb" in sys.argv[2:]:
+        cfg.tracking.async_boundary = True
     cfg.optimization.max_points = 4096
     if devpromo:
         # Match run_fullpipe_tpu.py: hold ONE BA shape for the whole run.
         cfg.optimization.window_size = 16
-        cfg.optimization.pose_bucket_floor = 64
+        cfg.optimization.pose_bucket_floor = pose_floor or 64
         cfg.optimization.point_bucket_floor = 4096
     cfg.initialization.min_inliers = 100
     cam = PinholeCamera(
@@ -76,6 +83,8 @@ def main():
     slam._promote_keyframe = timed("promote_total")(slam._promote_keyframe)
     slam._adopt_device_keyframe = timed("adopt_kf")(slam._adopt_device_keyframe)
     slam._boundary_heavy = timed("boundary_heavy")(slam._boundary_heavy)
+    slam._finish_async_solve = timed("finish_async")(slam._finish_async_solve)
+    slam._stack_imgs = timed("stack_imgs")(slam._stack_imgs)
     slam._triangulate = timed("promote.triangulate")(slam._triangulate)
     slam._install_reference = timed("promote.install_ref")(slam._install_reference)
     slam._refresh_arena = timed("promote.refresh_arena")(slam._refresh_arena)
