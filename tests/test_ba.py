@@ -114,3 +114,106 @@ def test_ba_handles_empty_slots(rng):
     assert np.isfinite(np.asarray(T)).all()
     assert np.isfinite(np.asarray(X)).all()
     assert float(info["cost"]) <= float(info["cost0"])
+
+
+# ---------------------------------------------------------------------------
+# Sparse landmark-major solver (backend/ba.py BASparse)
+# ---------------------------------------------------------------------------
+
+from visual_slam_tpu.backend.ba import (  # noqa: E402
+    BASparse,
+    bundle_adjust_sparse,
+    bundle_adjust_robust_sparse,
+)
+
+
+def to_sparse(problem: BAProblem, K: int) -> BASparse:
+    """Re-layout a dense (M, W) problem into K observation slots per
+    landmark (drops observations beyond K — tests pick K >= max track)."""
+    uv = np.asarray(problem.uv)
+    valid = np.asarray(problem.obs_valid)
+    M, W = valid.shape
+    s_uv = np.zeros((M, K, 2), np.float32)
+    s_pose = np.zeros((M, K), np.int32)
+    s_valid = np.zeros((M, K), bool)
+    for i in range(M):
+        js = np.nonzero(valid[i])[0][:K]
+        for k, j in enumerate(js):
+            s_uv[i, k] = uv[i, j]
+            s_pose[i, k] = j
+            s_valid[i, k] = True
+    return BASparse(
+        T_w2c=problem.T_w2c,
+        points=problem.points,
+        uv=jnp.asarray(s_uv),
+        obs_pose=jnp.asarray(s_pose),
+        obs_valid=jnp.asarray(s_valid),
+        pose_valid=problem.pose_valid,
+        pose_fixed=problem.pose_fixed,
+    )
+
+
+def test_sparse_matches_dense(rng):
+    """Identical LM trajectory: the sparse layout is the same math with a
+    different summation order, so poses/points must agree tightly."""
+    problem, T_gt, pts_gt, f = make_ba_problem(rng, W=5, M=150, n_fixed=2)
+    sparse = to_sparse(problem, K=5)
+    Td, Xd, infod = bundle_adjust(problem, n_iter=15, huber=5.0 / f)
+    Ts, Xs, infos = bundle_adjust_sparse(sparse, n_iter=15, huber=5.0 / f)
+    np.testing.assert_allclose(np.asarray(Ts), np.asarray(Td), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(Xs), np.asarray(Xd), atol=2e-3)
+    np.testing.assert_allclose(
+        float(infos["cost"]), float(infod["cost"]), rtol=1e-3
+    )
+
+
+def test_sparse_robust_matches_dense(rng):
+    problem, T_gt, pts_gt, f = make_ba_problem(rng, noise_px=0.2, n_fixed=2)
+    uv = np.asarray(problem.uv).copy()
+    n_bad = len(uv) // 10
+    uv[:n_bad, :, :] += rng.uniform(-0.2, 0.2, (n_bad, uv.shape[1], 2))
+    problem = problem._replace(uv=jnp.asarray(uv))
+    sparse = to_sparse(problem, K=4)
+    Td, Xd, infod = bundle_adjust_robust(
+        problem, n_iter=12, n_iter2=12, huber=3.0 / f
+    )
+    Ts, Xs, infos = bundle_adjust_robust_sparse(
+        sparse, n_iter=12, n_iter2=12, huber=3.0 / f
+    )
+    assert int(infos["n_trimmed"]) > 0
+    np.testing.assert_allclose(
+        np.asarray(Ts)[:, :3, :3], T_gt[:, :3, :3], atol=5e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(Ts)[:, :3, 3], T_gt[:, :3, 3], atol=3e-2
+    )
+    # Same observations trimmed (track-length order vs window order).
+    assert int(infos["n_trimmed"]) == int(infod["n_trimmed"])
+
+
+def test_sparse_obs_cap_overflow_still_converges(rng):
+    """K smaller than the longest track: the subset solve must still reduce
+    cost and stay near GT (the pack keeps an evenly-spread subset)."""
+    problem, T_gt, pts_gt, f = make_ba_problem(rng, W=6, M=150, n_fixed=2)
+    sparse = to_sparse(problem, K=3)  # tracks are up to 6 long
+    Ts, Xs, infos = bundle_adjust_sparse(sparse, n_iter=15, huber=5.0 / f)
+    assert float(infos["cost"]) < float(infos["cost0"])
+    # Half the observations dropped -> looser optimum, but still near GT.
+    np.testing.assert_allclose(
+        np.asarray(Ts)[:, :3, 3], T_gt[:, :3, 3], atol=1e-1
+    )
+
+
+def test_sparse_handles_empty_slots(rng):
+    problem, T_gt, pts_gt, f = make_ba_problem(rng, W=4)
+    sparse = to_sparse(problem, K=4)
+    s_valid = np.asarray(sparse.obs_valid).copy()
+    s_valid[-20:, :] = False
+    pose_valid = np.array([True, True, True, False])
+    sparse = sparse._replace(
+        obs_valid=jnp.asarray(s_valid), pose_valid=jnp.asarray(pose_valid)
+    )
+    T, X, info = bundle_adjust_sparse(sparse, n_iter=10, huber=5.0 / f)
+    assert np.isfinite(np.asarray(T)).all()
+    assert np.isfinite(np.asarray(X)).all()
+    assert float(info["cost"]) <= float(info["cost0"])

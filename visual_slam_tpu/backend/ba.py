@@ -91,21 +91,63 @@ def _residuals_and_jacobians(T_w2c, points, uv, w):
     return r, Jp, Jx, in_front
 
 
+def _inv3x3(A):
+    """Closed-form cofactor inverse of batched 3x3 matrices (..., 3, 3).
+
+    ``jnp.linalg.inv`` lowers to LU with pivoting — measured 4 ms/LM-iter on
+    TPU at M=4096 landmarks, the single largest term of the whole solve.
+    The adjugate formula is exact, branch-free, and pure elementwise math;
+    the damped V blocks are symmetric positive-definite so no pivoting is
+    ever needed."""
+    a = A[..., 0, 0]; b = A[..., 0, 1]; c = A[..., 0, 2]
+    d = A[..., 1, 0]; e = A[..., 1, 1]; f = A[..., 1, 2]
+    g = A[..., 2, 0]; h = A[..., 2, 1]; i = A[..., 2, 2]
+    c00 = e * i - f * h
+    c01 = c * h - b * i
+    c02 = b * f - c * e
+    c10 = f * g - d * i
+    c11 = a * i - c * g
+    c12 = c * d - a * f
+    c20 = d * h - e * g
+    c21 = b * g - a * h
+    c22 = a * e - b * d
+    det = a * c00 + b * c10 + c * c20
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < _EPS, _EPS, det)
+    adj = jnp.stack(
+        [
+            jnp.stack([c00, c01, c02], axis=-1),
+            jnp.stack([c10, c11, c12], axis=-1),
+            jnp.stack([c20, c21, c22], axis=-1),
+        ],
+        axis=-2,
+    )
+    return adj * inv_det[..., None, None]
+
+
 def _robust_weights(r, huber):
     """Huber IRLS weights from residual norms (M, W)."""
     rn = jnp.linalg.norm(r, axis=-1)
     return jnp.where(rn <= huber, 1.0, huber / jnp.maximum(rn, _EPS))
 
 
-def _cost(r, w_obs, huber, axis_name=None):
-    """Total robust (Huber) cost. r: (M, W, 2), w_obs: (M, W). With
-    ``axis_name``, M is a sharded axis and the sum is completed by psum."""
+def _cost(r, w_obs, in_front, huber, axis_name=None):
+    """Total robust (Huber) cost. r: (M, W, 2), w_obs/in_front: (M, W). With
+    ``axis_name``, M is a sharded axis and the sum is completed by psum.
+
+    Behind-camera observations pay a large FIXED penalty instead of zero:
+    with them merely masked out, "push every landmark behind the cameras"
+    is a global minimum (cost 0) and f32 LM paths do find that basin on
+    weak-parallax windows (observed: window cost 3e-3 -> 1e-16 with
+    landmarks meters away — map destroyed while 'converged'). The penalty
+    makes any step that loses cheirality strictly worse than the worst
+    plausible inlier residual, so accept/reject can never walk there."""
     rn2 = jnp.sum(r * r, axis=-1)
     rn = jnp.sqrt(rn2 + _EPS)
     quad = 0.5 * rn2
     lin = huber * (rn - 0.5 * huber)
     rho = jnp.where(rn <= huber, quad, lin)
-    c = jnp.sum(rho * w_obs)
+    pen = 20.0 * huber  # >> rho at any clamped in-image residual
+    c = jnp.sum(jnp.where(in_front, rho, pen) * w_obs)
     if axis_name is not None:
         c = jax.lax.psum(c, axis_name)
     return c
@@ -143,7 +185,7 @@ def _solve_step(T_w2c, points, uv, w_obs, pose_free, lam, huber, axis_name=None)
     # Damp.
     U = U + lam * jnp.eye(6)[None]
     V = V + lam * jnp.eye(3)[None]
-    Vinv = jnp.linalg.inv(V)  # batched 3x3
+    Vinv = _inv3x3(V)  # batched 3x3, closed form
 
     # Schur complement on landmarks.
     T_blk = jnp.einsum("mwij,mjk->mwik", Y, Vinv)  # (M, W, 6, 3)
@@ -204,7 +246,7 @@ def bundle_adjust(
 
     def cost_of(T, X):
         r, _, _, in_front = _residuals_and_jacobians(T, X, problem.uv, w_obs > 0)
-        return _cost(r, w_obs * in_front, huber, axis_name=axis_name)
+        return _cost(r, w_obs, in_front, huber, axis_name=axis_name)
 
     def body(carry, _):
         T, X, lam, c = carry
@@ -259,6 +301,231 @@ def bundle_adjust_robust(
     kept = problem.obs_valid & (rn < trim_factor * huber)
     problem2 = problem._replace(T_w2c=T, points=X, obs_valid=kept)
     T, X, info2 = bundle_adjust(problem2, n_iter=n_iter2, huber=huber, lam0=lam0)
+    info = {
+        "cost0": info1["cost0"],
+        "cost": info2["cost"],
+        "obs_kept": kept,
+        "n_trimmed": jnp.sum(problem.obs_valid) - jnp.sum(kept),
+    }
+    return T, X, info
+
+
+# ---------------------------------------------------------------------------
+# Sparse landmark-major BA
+#
+# The dense (M, W) grid above is ~97-98 % empty at SLAM map density (a
+# landmark is observed by a handful of keyframes, not the whole window), and
+# its Schur cross term ``muik,mvjk->uivj`` is O(M W^2) — the dominant device
+# cost of every boundary solve once W reaches the 32/64 bucket floors.
+# The sparse layout stores K observation SLOTS per landmark (pose index +
+# measurement), making every term O(M K^2) with K ~ the true track length
+# (16 covers the window solves); pose-indexed reductions go through
+# ``segment_sum``. Same LM/Schur math, same info dict, ~W^2/K^2 less FLOPs.
+# ---------------------------------------------------------------------------
+
+
+class BASparse(NamedTuple):
+    """Fixed-capacity landmark-major bundle-adjustment window.
+
+    Each landmark carries up to K observation slots; ``obs_pose`` holds the
+    keyframe slot index of each observation (0 where invalid — the weight
+    masks it out, the scatter lands harmlessly on slot 0).
+    """
+
+    T_w2c: jnp.ndarray  # (W, 4, 4) keyframe poses, world -> camera
+    points: jnp.ndarray  # (M, 3) landmark positions (world)
+    uv: jnp.ndarray  # (M, K, 2) normalized observations
+    obs_pose: jnp.ndarray  # (M, K) int32 pose-slot index per observation
+    obs_valid: jnp.ndarray  # (M, K) bool
+    pose_valid: jnp.ndarray  # (W,) bool
+    pose_fixed: jnp.ndarray  # (W,) bool
+
+    @property
+    def n_poses(self) -> int:
+        return self.T_w2c.shape[0]
+
+    @property
+    def n_points(self) -> int:
+        return self.points.shape[0]
+
+
+def _residuals_and_jacobians_sparse(T_w2c, points, uv, obs_pose):
+    """Sparse counterpart of :func:`_residuals_and_jacobians`: gathers each
+    observation's pose, shapes are (M, K, ...)."""
+    Rg = T_w2c[obs_pose, :3, :3]  # (M, K, 3, 3)
+    tg = T_w2c[obs_pose, :3, 3]  # (M, K, 3)
+    pc = jnp.einsum("mkab,mb->mka", Rg, points) + tg
+    x, y, z = pc[..., 0], pc[..., 1], pc[..., 2]
+    zs = jnp.where(jnp.abs(z) < _EPS, _EPS, z)
+    inv_z = 1.0 / zs
+    u = x * inv_z
+    v = y * inv_z
+    r = jnp.stack([u, v], axis=-1) - uv  # (M, K, 2)
+    zero = jnp.zeros_like(u)
+    Ju = jnp.stack([inv_z, zero, -u * inv_z, -u * v, 1.0 + u * u, -v], axis=-1)
+    Jv = jnp.stack([zero, inv_z, -v * inv_z, -(1.0 + v * v), u * v, u], axis=-1)
+    Jp = jnp.stack([Ju, Jv], axis=-2)  # (M, K, 2, 6)
+    A = jnp.stack(
+        [
+            jnp.stack([inv_z, zero, -u * inv_z], axis=-1),
+            jnp.stack([zero, inv_z, -v * inv_z], axis=-1),
+        ],
+        axis=-2,
+    )  # (M, K, 2, 3)
+    Jx = jnp.einsum("mkab,mkbc->mkac", A, Rg)  # (M, K, 2, 3)
+    in_front = z > _EPS
+    return r, Jp, Jx, in_front
+
+
+def _solve_step_sparse(
+    T_w2c, points, uv, obs_pose, w_obs, pose_free, lam, huber, axis_name=None
+):
+    """One LM linear solve on the sparse layout: returns (dxi, dX).
+
+    Pose-block reductions (U, gp, S_cross, b) scatter per-observation
+    contributions with ``segment_sum``; landmark blocks (V, gx, back-subst)
+    reduce locally over the K axis. With ``axis_name``, the landmark axis is
+    sharded exactly as in the dense solver (psum completes pose blocks)."""
+    M, K = uv.shape[:2]
+    W = T_w2c.shape[0]
+    r, Jp, Jx, in_front = _residuals_and_jacobians_sparse(
+        T_w2c, points, uv, obs_pose
+    )
+    w = w_obs * _robust_weights(r, huber) * in_front  # (M, K)
+    Jp = Jp * pose_free[obs_pose][..., None, None]
+
+    seg = obs_pose.reshape(-1)  # (MK,)
+    U = jax.ops.segment_sum(
+        jnp.einsum("mkai,mk,mkaj->mkij", Jp, w, Jp).reshape(M * K, 6, 6),
+        seg,
+        num_segments=W,
+    )  # (W, 6, 6)
+    gp = jax.ops.segment_sum(
+        jnp.einsum("mkai,mk,mka->mki", Jp, w, r).reshape(M * K, 6),
+        seg,
+        num_segments=W,
+    )  # (W, 6)
+    V = jnp.einsum("mkai,mk,mkaj->mij", Jx, w, Jx)  # (M, 3, 3)
+    gx = jnp.einsum("mkai,mk,mka->mi", Jx, w, r)  # (M, 3)
+    Y = jnp.einsum("mkai,mk,mkaj->mkij", Jp, w, Jx)  # (M, K, 6, 3)
+
+    if axis_name is not None:
+        U = jax.lax.psum(U, axis_name)
+        gp = jax.lax.psum(gp, axis_name)
+
+    U = U + lam * jnp.eye(6)[None]
+    V = V + lam * jnp.eye(3)[None]
+    Vinv = _inv3x3(V)  # (M, 3, 3), closed form
+
+    T_blk = jnp.einsum("mkij,mjl->mkil", Y, Vinv)  # (M, K, 6, 3)
+    # Pairwise cross blocks within each landmark's track: O(M K^2), the
+    # whole point of the sparse layout (dense was O(M W^2)).
+    C = jnp.einsum("mkil,mqjl->mkqij", T_blk, Y)  # (M, K, K, 6, 6)
+    pair_seg = (obs_pose[:, :, None] * W + obs_pose[:, None, :]).reshape(-1)
+    S_cross = jax.ops.segment_sum(
+        C.reshape(M * K * K, 6, 6), pair_seg, num_segments=W * W
+    ).reshape(W, W, 6, 6).transpose(0, 2, 1, 3)  # (W, 6, W, 6)
+    b_local = -jax.ops.segment_sum(
+        jnp.einsum("mkil,ml->mki", T_blk, gx).reshape(M * K, 6),
+        seg,
+        num_segments=W,
+    )  # (W, 6)
+    if axis_name is not None:
+        S_cross = jax.lax.psum(S_cross, axis_name)
+        b_local = jax.lax.psum(b_local, axis_name)
+    b = gp + b_local
+    S = jnp.zeros((W, 6, W, 6)).at[jnp.arange(W), :, jnp.arange(W), :].add(U) - S_cross
+
+    free = pose_free
+    S = S * free[:, None, None, None] * free[None, None, :, None]
+    S = S.at[jnp.arange(W), :, jnp.arange(W), :].add(
+        jnp.eye(6)[None] * (1.0 - free)[:, None, None]
+    )
+    b = b * free[:, None]
+
+    Sd = S.reshape(W * 6, W * 6)
+    dxi = -jnp.linalg.solve(Sd, b.reshape(W * 6)).reshape(W, 6)
+    YtdP = jnp.einsum("mkij,mki->mj", Y, dxi[obs_pose])  # (M, 3)
+    dX = -jnp.einsum("mij,mj->mi", Vinv, gx + YtdP)
+    return dxi, dX
+
+
+@partial(jax.jit, static_argnames=("n_iter", "axis_name"))
+def bundle_adjust_sparse(
+    problem: BASparse,
+    n_iter: int = 20,
+    huber: float = 5e-3,
+    lam0: float = 1e-3,
+    axis_name: str | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray, dict]:
+    """Damped LM loop on the sparse layout — same semantics and info dict as
+    :func:`bundle_adjust`."""
+    w_obs = problem.obs_valid.astype(jnp.float32)
+    pose_free = (problem.pose_valid & ~problem.pose_fixed).astype(jnp.float32)
+
+    def cost_of(T, X):
+        r, _, _, in_front = _residuals_and_jacobians_sparse(
+            T, X, problem.uv, problem.obs_pose
+        )
+        return _cost(r, w_obs, in_front, huber, axis_name=axis_name)
+
+    def body(carry, _):
+        T, X, lam, c = carry
+        dxi, dX = _solve_step_sparse(
+            T, X, problem.uv, problem.obs_pose, w_obs, pose_free, lam, huber,
+            axis_name=axis_name,
+        )
+        T_new, X_new = _apply_step(T, X, dxi, dX)
+        c_new = cost_of(T_new, X_new)
+        accept = c_new < c
+        T = jnp.where(accept, T_new, T)
+        X = jnp.where(accept, X_new, X)
+        c = jnp.where(accept, c_new, c)
+        lam = jnp.where(accept, lam * 0.5, lam * 4.0)
+        lam = jnp.clip(lam, 1e-9, 1e6)
+        return (T, X, lam, c), c
+
+    c0 = cost_of(problem.T_w2c, problem.points)
+    (T, X, lam, c), cs = jax.lax.scan(
+        body, (problem.T_w2c, problem.points, jnp.asarray(lam0), c0), None,
+        length=n_iter,
+    )
+    info = {"cost0": c0, "cost": c, "costs": cs, "lambda": lam}
+    return T, X, info
+
+
+def residual_norms_sparse(
+    T_w2c: jnp.ndarray,
+    points: jnp.ndarray,
+    uv: jnp.ndarray,
+    obs_pose: jnp.ndarray,
+    obs_valid: jnp.ndarray,
+) -> jnp.ndarray:
+    """Per-observation reprojection error norms (M, K); invalid or
+    behind-camera observations get +inf."""
+    r, _, _, in_front = _residuals_and_jacobians_sparse(
+        T_w2c, points, uv, obs_pose
+    )
+    rn = jnp.linalg.norm(r, axis=-1)
+    return jnp.where(obs_valid & in_front, rn, jnp.inf)
+
+
+@partial(jax.jit, static_argnames=("n_iter", "n_iter2"))
+def bundle_adjust_robust_sparse(
+    problem: BASparse,
+    n_iter: int = 10,
+    n_iter2: int = 10,
+    huber: float = 5e-3,
+    lam0: float = 1e-3,
+    trim_factor: float = 3.0,
+) -> tuple[jnp.ndarray, jnp.ndarray, dict]:
+    """Two-stage BA with interim outlier gating — sparse counterpart of
+    :func:`bundle_adjust_robust`; info['obs_kept'] is (M, K)."""
+    T, X, info1 = bundle_adjust_sparse(problem, n_iter=n_iter, huber=huber, lam0=lam0)
+    rn = residual_norms_sparse(T, X, problem.uv, problem.obs_pose, problem.obs_valid)
+    kept = problem.obs_valid & (rn < trim_factor * huber)
+    problem2 = problem._replace(T_w2c=T, points=X, obs_valid=kept)
+    T, X, info2 = bundle_adjust_sparse(problem2, n_iter=n_iter2, huber=huber, lam0=lam0)
     info = {
         "cost0": info1["cost0"],
         "cost": info2["cost"],

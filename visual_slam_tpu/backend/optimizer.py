@@ -24,7 +24,12 @@ import jax.numpy as jnp
 from ..config import Config
 from ..map.keyframe import KeyFrame
 from ..map.map_point import MapPoint
-from .ba import BAProblem, bundle_adjust_robust
+from .ba import (
+    BAProblem,
+    BASparse,
+    bundle_adjust_robust,
+    bundle_adjust_robust_sparse,
+)
 
 
 class BaseOptimizer(abc.ABC):
@@ -133,6 +138,92 @@ class LMOptimizer(BaseOptimizer):
         )
         return problem, used_points, kf_slot, obs_valid, kp_of
 
+    def _pack_sparse(
+        self,
+        keyframes: List[KeyFrame],
+        map_points: List[MapPoint],
+        w_bucket: int,
+        m_bucket: int,
+        fixed_flags: List[bool],
+    ):
+        """Landmark-major pack: K observation slots per landmark
+        (backend/ba.py BASparse) instead of the dense (M, W) grid. Landmarks
+        with more than K observations inside the window keep an evenly-spread
+        subset for this solve (geometry-preserving; count logged)."""
+        W = w_bucket
+        M = m_bucket
+        K = self.config.optimization.obs_cap
+        Kmat = np.asarray(self.camera.K, np.float64)
+        Kinv = np.linalg.inv(Kmat)
+        kf_slot = {kf.keyframe_id: j for j, kf in enumerate(keyframes)}
+
+        T = np.tile(np.eye(4, dtype=np.float32), (W, 1, 1))
+        pose_valid = np.zeros(W, bool)
+        for j, kf in enumerate(keyframes):
+            T[j] = kf.T_w2c
+            pose_valid[j] = True
+
+        pts = np.zeros((M, 3), np.float32)
+        uv = np.zeros((M, K, 2), np.float32)
+        obs_pose = np.zeros((M, K), np.int32)
+        obs_valid = np.zeros((M, K), bool)
+        kp_of = np.full((M, K), -1, np.int32)
+        used_points: List[MapPoint] = list(map_points[:M])
+        ii: List[int] = []
+        ss: List[int] = []
+        jj: List[int] = []
+        kk: List[int] = []
+        n_over = 0
+        for i, mp in enumerate(used_points):
+            pts[i] = mp.position
+            obs: List[tuple] = []
+            for kf_id, cam_id, kp_idx in mp.observations.items():
+                j = kf_slot.get(kf_id)
+                if j is None or cam_id != 0:
+                    continue
+                obs.append((j, kp_idx))
+            if len(obs) > K:
+                n_over += 1
+                sel = np.unique(
+                    np.round(np.linspace(0, len(obs) - 1, K)).astype(int)
+                )
+                obs = [obs[q] for q in sel]
+            for k, (j, kp_idx) in enumerate(obs):
+                ii.append(i)
+                ss.append(k)
+                jj.append(j)
+                kk.append(kp_idx)
+        if n_over:
+            self.logger.debug(
+                "sparse BA pack: %d landmarks exceed obs_cap=%d this window "
+                "(evenly-spread subset kept)", n_over, K,
+            )
+        if ii:
+            ia = np.asarray(ii)
+            sa = np.asarray(ss)
+            ja = np.asarray(jj)
+            ka = np.asarray(kk)
+            kp_all = np.stack([kf.keypoints(0) for kf in keyframes])
+            uv_pix = kp_all[ja, ka]
+            uv[ia, sa] = uv_pix @ Kinv[:2, :2].T + Kinv[:2, 2]
+            obs_pose[ia, sa] = ja
+            obs_valid[ia, sa] = True
+            kp_of[ia, sa] = ka
+
+        pose_fixed = np.zeros(W, bool)
+        for j, fx in enumerate(fixed_flags):
+            pose_fixed[j] = fx
+        problem = BASparse(
+            T_w2c=jnp.asarray(T),
+            points=jnp.asarray(pts),
+            uv=jnp.asarray(uv),
+            obs_pose=jnp.asarray(obs_pose),
+            obs_valid=jnp.asarray(obs_valid),
+            pose_valid=jnp.asarray(pose_valid),
+            pose_fixed=jnp.asarray(pose_fixed),
+        )
+        return problem, used_points, kf_slot, obs_valid, kp_of, obs_pose
+
     def _select_points(self, map_points, cap: int):
         """Respect the landmark cap by keeping the BEST-OBSERVED points, not
         a positional prefix, and say so (no silent caps): dropped landmarks
@@ -196,23 +287,40 @@ class LMOptimizer(BaseOptimizer):
             _bucket4(len(map_points), lo=cfg.point_bucket_floor),
             max(cfg.max_points, cfg.point_bucket_floor),
         )
-        problem, used_points, kf_slot, packed_valid, kp_of = self._pack(
-            keyframes, map_points, w_bucket, m_bucket, fixed_flags
-        )
         focal = float(self.camera.K[0, 0])
         n1 = max(cfg.n_iter // 2, 1)
-        T, X, info = bundle_adjust_robust(
-            problem,
-            n_iter=n1,
-            n_iter2=max(cfg.n_iter - n1, 1),
-            huber=cfg.huber_delta / focal,
-            lam0=cfg.lm_lambda0,
-            trim_factor=3.0,
-        )
+        if cfg.sparse_obs:
+            problem, used_points, kf_slot, packed_valid, kp_of, obs_pose = (
+                self._pack_sparse(
+                    keyframes, map_points, w_bucket, m_bucket, fixed_flags
+                )
+            )
+            T, X, info = bundle_adjust_robust_sparse(
+                problem,
+                n_iter=n1,
+                n_iter2=max(cfg.n_iter - n1, 1),
+                huber=cfg.huber_delta / focal,
+                lam0=cfg.lm_lambda0,
+                trim_factor=3.0,
+            )
+        else:
+            problem, used_points, kf_slot, packed_valid, kp_of = self._pack(
+                keyframes, map_points, w_bucket, m_bucket, fixed_flags
+            )
+            obs_pose = None
+            T, X, info = bundle_adjust_robust(
+                problem,
+                n_iter=n1,
+                n_iter2=max(cfg.n_iter - n1, 1),
+                huber=cfg.huber_delta / focal,
+                lam0=cfg.lm_lambda0,
+                trim_factor=3.0,
+            )
         return {
             "T": T, "X": X, "info": info,
             "keyframes": list(keyframes), "used_points": used_points,
             "kf_slot": kf_slot, "packed_valid": packed_valid, "kp_of": kp_of,
+            "obs_pose": obs_pose,
             "fixed_flags": fixed_flags, "renormalize_scale": renormalize_scale,
         }
 
@@ -250,8 +358,15 @@ class LMOptimizer(BaseOptimizer):
         # reference's cull_bad_points stub, local_handler.py:79-80). Only
         # the REMOVED set is iterated — typically a handful per solve.
         removed = packed_valid & ~np.asarray(info["obs_kept"])
-        for i, j in zip(*np.nonzero(removed)):
-            keyframes[j].remove_map_point(0, int(kp_of[i, j]))
+        obs_pose = pending["obs_pose"]
+        if obs_pose is not None:  # sparse (M, K) layout: pose slot per obs
+            for i, k in zip(*np.nonzero(removed)):
+                keyframes[int(obs_pose[i, k])].remove_map_point(
+                    0, int(kp_of[i, k])
+                )
+        else:
+            for i, j in zip(*np.nonzero(removed)):
+                keyframes[j].remove_map_point(0, int(kp_of[i, j]))
         for i in set(np.nonzero(removed)[0].tolist()):
             # Only fully orphaned landmarks die here: single-observation
             # points still serve PnP tracking, and keyframe culling may

@@ -176,6 +176,18 @@ class OptimizationConfig:
     # stays in ONE bucket turn those compiles into a single warmup cost.
     pose_bucket_floor: int = 16
     point_bucket_floor: int = 1024
+    # Sparse landmark-major BA: K observation slots per landmark instead of
+    # the dense (M, W) grid — identical LM/Schur math (backend/ba.py
+    # BASparse, parity-tested to 2e-4). Default OFF: its pose-pair
+    # segment_sum lowers to a serial scatter on TPU (measured 11 s/solve at
+    # W>=32 vs the dense grid's einsum), while the dense solver's real cost
+    # was the batched 3x3 LU inverse — fixed in closed form (_inv3x3).
+    # The sparse layout remains the right shape when (M, W) grids outgrow
+    # memory (very wide pose windows) or on CPU hosts.
+    # Landmarks tracked longer than obs_cap keep an evenly-spread subset of
+    # their observations for that solve (logged).
+    sparse_obs: bool = False
+    obs_cap: int = 16
     ba_every_n_keyframes: int = 1  # throttle the BA handler trigger
     # CompiledSLAM: dispatch the keyframe-boundary BA WITHOUT waiting and
     # apply its writeback at the next boundary (overlaps the solve with the

@@ -71,6 +71,9 @@ class Tracking:
         # gauge of the latest landmark gather. See Map.gauge_version.
         self._gauge_seen = 0
         self._gather_gauge_version = 0
+        # Relocalization place-recognition cache: kf_id -> (V,) global
+        # signature (loop_closing/signature.py), backfilled lazily.
+        self._reloc_sig_table: dict[int, np.ndarray] = {}
         from .trackingalgorithm import FusedMonoTracking, MonoTracking
 
         # Pluggable strategy (trackingalgorithm/).
@@ -304,18 +307,25 @@ class Tracking:
         xy_obs = np.asarray(res.features1.xy)
         return res, pts3d, xy_obs, pair_valid
 
-    def _local_landmark_block(self, n_keyframes: int = 3, cap: int | None = None):
+    def _local_landmark_block(
+        self, n_keyframes: int = 3, cap: int | None = None, keyframes=None
+    ):
         """Dense local-map landmark block (positions, descriptors, mask) from
-        the last-N keyframes, padded to a fixed capacity for stable jit
-        shapes. Feeds the projection-guided matcher. The capacity scales with
-        the feature budget (at 2000 feats x 3 KFs a fixed 2048 would
-        truncate)."""
+        the last-N keyframes (or an explicit ``keyframes`` list — e.g. the
+        relocalization candidates, which may be far in the past), padded to a
+        fixed capacity for stable jit shapes. Feeds the projection-guided
+        matcher. The capacity scales with the feature budget (at 2000 feats
+        x 3 KFs a fixed 2048 would truncate)."""
         if cap is None:
             cap = max(2048, 2 * self.config.feature.num_features)
 
         def gather():
             mps = {}
-            for kf in self.map.get_keyframes()[-n_keyframes:]:
+            for kf in (
+                keyframes
+                if keyframes is not None
+                else self.map.get_keyframes()[-n_keyframes:]
+            ):
                 for mp in list(kf.map_points.values()):
                     if not mp.is_bad and mp.descriptor is not None:
                         mps[mp.id] = mp
@@ -331,13 +341,21 @@ class Tracking:
 
         return self._consistent_gather(gather)
 
-    def _track_guided(self, frame: Frame, n_keyframes: int = 3, radius_px: float = 25.0):
+    def _track_guided(
+        self,
+        frame: Frame,
+        n_keyframes: int = 3,
+        radius_px: float = 25.0,
+        keyframes=None,
+    ):
         """Projection-guided local-map association (ops/guided_matching.py):
         project landmarks into the motion-model predicted pose, match within
         a pixel window. Returns (pts3d, xy_obs, pair_valid) keypoint-aligned."""
         from .ops.guided_matching import guided_match
 
-        pos, desc, lvalid, landmarks = self._local_landmark_block(n_keyframes)
+        pos, desc, lvalid, landmarks = self._local_landmark_block(
+            n_keyframes, keyframes=keyframes
+        )
         if not lvalid.any():
             return None
         feats = frame.get_features(0)
@@ -561,43 +579,163 @@ class Tracking:
         # recent keyframes. Per-KF matching alone starves on sparse keyframes
         # (observed: 26 raw matches x 72/320 landmark slots -> 9 pairs, under
         # the inlier gate); the union block offers every local landmark.
-        for kf in reversed(self.map.get_keyframes()[-max_candidates:]):
-            res, pts3d, xy_obs, pair_valid = self._track_reference_keyframe(frame, kf)
-            if res is None or int(pair_valid.sum()) < 6:
+        # Fallback: place-recognition over ALL keyframes — while LOST the
+        # camera keeps moving, so after a few failed frames the recent
+        # keyframes no longer overlap the view at all (observed: a 3-frame
+        # blackout followed by 37 consecutive recent-KF relocalization
+        # failures while older keyframes DID see the current view). The
+        # compact-signature shortlist (loop_closing/signature.py) is the
+        # same machinery ORB-SLAM uses DBoW for.
+        recent = list(reversed(self.map.get_keyframes()[-max_candidates:]))
+        tried = {kf.keyframe_id for kf in recent}
+        candidates = recent + self._reloc_global_candidates(
+            frame, exclude=tried, top_n=max_candidates
+        )
+        # Stage 1 — coarse pose from the candidates. Per-KF PnP FIRST (a
+        # single keyframe's pairs are few but pure — observed 6 pairs / 6
+        # inliers right after a blackout); the cross-candidate UNION only as
+        # a backstop (it has count but cross-KF mismatches dilute the inlier
+        # fraction below what 256 RANSAC hypotheses reliably crack —
+        # observed 24 union pairs -> 3 inliers while one member KF was
+        # 6-for-6). This is ORB-SLAM's multi-candidate relocalization shape.
+        blocks = []
+        per_kf = []  # (n_pairs, kf, match_res) for reference re-anchoring
+        best = None  # (n_inliers, T_w2c, kf, match_res)
+        for kf in candidates:
+            res, pts3d, xy_obs, pair_valid = self._track_reference_keyframe(
+                frame, kf
+            )
+            if res is None:
                 continue
-            pose_res = self._optimize_pose(frame, pts3d, xy_obs, pair_valid)
-            # ORB-SLAM relocalization recipe: a coarse PnP pose from the few
-            # slot-landmark matches (often under the quality gate on sparse
-            # keyframes — observed 9 pairs / 7 inliers) seeds a projection-
-            # guided search over the local landmark block, and the expanded
-            # candidate set is re-optimized before the gate is applied.
-            guided_used = None
-            if pose_res.get("ok") and pose_res.get("n_inliers", 0) >= 6:
-                guided = self._track_guided(frame, n_keyframes=8, radius_px=20.0)
-                if guided is not None and int(guided["valid"].sum()) >= 6:
-                    refined = self._optimize_pose(
-                        frame, guided["pts3d"], guided["xy"], guided["valid"]
+            n = int(pair_valid.sum())
+            per_kf.append((n, kf, res))
+            if n > 0:
+                blocks.append((pts3d, xy_obs, pair_valid))
+            if n >= 6:
+                pr = self._optimize_pose(frame, pts3d, xy_obs, pair_valid)
+                n_inl = pr.get("n_inliers", 0)
+                if pr.get("ok") and n_inl >= 6 and (
+                    best is None or n_inl > best[0]
+                ):
+                    best = (n_inl, frame.T_w2c.copy(), kf, res)
+        if not blocks or not per_kf:
+            return {"ok": False, "relocalized": False}
+        if best is None:
+            # Union backstop, padded to a fixed block count (one compile
+            # shape per bucket).
+            n_blocks = 2 * max_candidates
+            Kf = blocks[0][0].shape[0]
+            blocks = blocks[:n_blocks]
+            while len(blocks) < n_blocks:
+                blocks.append(
+                    (
+                        np.zeros((Kf, 3), np.float32),
+                        np.zeros((Kf, 2), np.float32),
+                        np.zeros(Kf, bool),
                     )
-                    if refined.get("n_inliers", 0) > pose_res.get("n_inliers", 0):
-                        pose_res = refined
-                        guided_used = guided
-            if self._is_tracking_good(pose_res):
-                self.logger.info("relocalized against KF %d", kf.keyframe_id)
-                self.reference_keyframe = kf
-                # Extend the map immediately: the relocalized frame becomes a
-                # keyframe, so subsequent frames track fresh geometry instead
-                # of the stale pre-loss keyframes (observed: without this the
-                # camera moves on and tracking re-dies within a frame).
-                creation_info = {"pnp_inliers": pose_res.get("pnp_inliers")}
-                if guided_used is not None:
-                    creation_info["guided"] = guided_used
-                self._create_keyframe(frame, res, creation_info)
-                self.motion_model = np.eye(4)
-                self.last_frame = frame
-                self.state = State.OK
-                pose_res["relocalized"] = True
-                return pose_res
+                )
+            pose_res = self._optimize_pose(
+                frame,
+                np.concatenate([b[0] for b in blocks]),
+                np.concatenate([b[1] for b in blocks]),
+                np.concatenate([b[2] for b in blocks]),
+            )
+            self.logger.debug(
+                "reloc union: %d pairs over %d candidates -> ok=%s inl=%d",
+                sum(int(b[2].sum()) for b in blocks), len(per_kf),
+                pose_res.get("ok"), pose_res.get("n_inliers", 0),
+            )
+            if pose_res.get("ok") and pose_res.get("n_inliers", 0) >= 6:
+                n_best, kf_best, res_best = max(per_kf, key=lambda t: t[0])
+                best = (
+                    pose_res["n_inliers"], frame.T_w2c.copy(),
+                    kf_best, res_best,
+                )
+        if best is None:
+            return {"ok": False, "relocalized": False}
+        # Re-impose the winning coarse pose (later per-KF attempts may have
+        # overwritten the frame pose with a worse accepted solve).
+        _, T_best, best_kf, best_res = best
+        frame.set_pose_Rt(T_best[:3, :3], T_best[:3, 3])
+        # Stage 2 — guided refine: the coarse pose seeds a projection-guided
+        # search over the CANDIDATES' landmark block (not the last-N
+        # keyframes: a loop-around relocalization matches far-past views),
+        # and the expanded, keypoint-aligned set is re-optimized. A wide
+        # radius absorbs the coarse pose's error (LOST = high uncertainty).
+        pose_res = {"ok": True, "n_inliers": best[0], "inlier_ratio": 1.0}
+        guided = self._track_guided(
+            frame,
+            radius_px=30.0,
+            keyframes=[kf for _, kf, _ in per_kf],
+        )
+        guided_used = None
+        if guided is not None and int(guided["valid"].sum()) >= 6:
+            refined = self._optimize_pose(
+                frame, guided["pts3d"], guided["xy"], guided["valid"]
+            )
+            if refined.get("ok"):
+                pose_res = refined
+                guided_used = guided
+        self.logger.debug(
+            "reloc guided: %s assoc -> inl=%d ratio=%.2f",
+            "none" if guided is None else int(guided["valid"].sum()),
+            pose_res.get("n_inliers", 0), pose_res.get("inlier_ratio", 0.0),
+        )
+        if guided_used is not None and self._is_tracking_good(pose_res):
+            self.logger.info(
+                "relocalized against KF %d (union %d pairs over %d candidates)",
+                best_kf.keyframe_id, pose_res.get("n_inliers", 0), len(per_kf),
+            )
+            self.reference_keyframe = best_kf
+            # Extend the map immediately: the relocalized frame becomes a
+            # keyframe, so subsequent frames track fresh geometry instead
+            # of the stale pre-loss keyframes (observed: without this the
+            # camera moves on and tracking re-dies within a frame).
+            creation_info = {
+                "pnp_inliers": pose_res.get("pnp_inliers"),
+                "guided": guided_used,
+            }
+            self._create_keyframe(frame, best_res, creation_info)
+            self.motion_model = np.eye(4)
+            self.last_frame = frame
+            self.state = State.OK
+            pose_res["relocalized"] = True
+            return pose_res
         return {"ok": False, "relocalized": False}
+
+    def _reloc_global_candidates(self, frame: Frame, exclude, top_n: int = 5):
+        """Top-``top_n`` keyframes over the WHOLE map by compact global
+        signature similarity (one tiny matmul per new keyframe + a host
+        matvec — flat cost at any map size; loop_closing/signature.py)."""
+        from .loop_closing.signature import (
+            batch_signatures,
+            keyframe_signature,
+            score_signatures,
+        )
+
+        kfs = [
+            kf
+            for kf in self.map.get_keyframes()
+            if kf.keyframe_id not in exclude and kf.get_features(0) is not None
+        ]
+        if not kfs:
+            return []
+        missing = [
+            kf for kf in kfs if kf.keyframe_id not in self._reloc_sig_table
+        ]
+        if missing:
+            descs = np.stack([kf.descriptors(0) for kf in missing])
+            valids = np.stack([kf.valid_mask(0) for kf in missing])
+            for kf, sig in zip(missing, batch_signatures(descs, valids)):
+                self._reloc_sig_table[kf.keyframe_id] = sig
+        f = frame.get_features(0)
+        if f is None:
+            return []
+        q = np.asarray(keyframe_signature(f.desc, f.valid))
+        table = np.stack([self._reloc_sig_table[kf.keyframe_id] for kf in kfs])
+        scores = score_signatures(q, table)
+        top = np.argsort(-scores)[:top_n]
+        return [kfs[int(i)] for i in top]
 
 
 def _to_gray(img: np.ndarray) -> np.ndarray:
