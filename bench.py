@@ -218,7 +218,7 @@ def bench_stereo_step(K_np, num_features=2000, baseline=0.54):
 
 
 def bench_full_pipeline(num_features=2000, n_frames=64, frame_kw=None,
-                        chunk_size=4):
+                        chunk_size=8):
     """CompiledSLAM end to end on a KITTI-sized synthetic sequence: FPS with
     all host decision/keyframe/BA work included, plus mono-aligned ATE.
 
@@ -250,7 +250,18 @@ def bench_full_pipeline(num_features=2000, n_frames=64, frame_kw=None,
     cfg.feature.num_features = num_features
     cfg.tracking.keyframe_interval = 4
     cfg.tracking.chunk_size = chunk_size
+    # Measured-best deployment shape (scripts/run_fullpipe_tpu.py ladder):
+    # device-side in-chunk keyframe promotion, heavy (BA) boundary every
+    # 2nd promotion, f16 frame upload, ONE BA bucket for the whole run
+    # (window 16, pose floor 32, point floor 4096 — each extra bucket is a
+    # 7-13 s compile inside the timed window).
+    cfg.tracking.device_promotion = True
+    cfg.tracking.heavy_boundary_every = 2
+    cfg.tracking.upload_f16 = True
     cfg.optimization.max_points = 4096
+    cfg.optimization.window_size = 16
+    cfg.optimization.pose_bucket_floor = 32
+    cfg.optimization.point_bucket_floor = 4096
     cfg.initialization.min_inliers = min(100, max(30, num_features // 20))
     cam = PinholeCamera(width=frames[0].shape[1], height=frames[0].shape[0],
                         K=np.asarray(K_np, np.float64))
@@ -264,8 +275,12 @@ def bench_full_pipeline(num_features=2000, n_frames=64, frame_kw=None,
         i += 1
     if slam.state.name != "OK":
         return None
-    # Two steady-state chunks incl. keyframe cycles to trigger compiles.
-    warm_end = min(i + 2 * max(chunk_size, 4), len(frames) - 8)
+    # Warm through TWO full heavy-boundary cycles so every shape (chunk
+    # scan, compaction, the single BA bucket) compiles before the timer.
+    warm_end = min(
+        i + 2 * max(chunk_size, 4) * cfg.tracking.heavy_boundary_every + 1,
+        len(frames) - 2 * max(chunk_size, 8),
+    )
     while i < warm_end:
         slam.track([frames[i]], timestamp=i * 0.1)
         i += 1

@@ -206,7 +206,11 @@ def _solve_step(T_w2c, points, uv, w_obs, pose_free, lam, huber, axis_name=None)
     b = b * free[:, None]
 
     Sd = S.reshape(W * 6, W * 6)
-    dxi = -jnp.linalg.solve(Sd, b.reshape(W * 6)).reshape(W, 6)
+    # S is symmetric positive definite (damped normal equations; fixed
+    # slots carry identity rows), so Cholesky replaces LU-with-pivoting —
+    # the cheaper lowering for the per-iteration (6W, 6W) solve on TPU.
+    L = jnp.linalg.cholesky(Sd)
+    dxi = -jax.scipy.linalg.cho_solve((L, True), b.reshape(W * 6)).reshape(W, 6)
     # Back-substitute landmarks: dX = -Vinv (gx + Y^T dxi_summed)
     YtdP = jnp.einsum("mwij,wi->mj", Y, dxi)  # (M, 3)
     dX = -jnp.einsum("mij,mj->mi", Vinv, gx + YtdP)
@@ -444,7 +448,11 @@ def _solve_step_sparse(
     b = b * free[:, None]
 
     Sd = S.reshape(W * 6, W * 6)
-    dxi = -jnp.linalg.solve(Sd, b.reshape(W * 6)).reshape(W, 6)
+    # S is symmetric positive definite (damped normal equations; fixed
+    # slots carry identity rows), so Cholesky replaces LU-with-pivoting —
+    # the cheaper lowering for the per-iteration (6W, 6W) solve on TPU.
+    L = jnp.linalg.cholesky(Sd)
+    dxi = -jax.scipy.linalg.cho_solve((L, True), b.reshape(W * 6)).reshape(W, 6)
     YtdP = jnp.einsum("mkij,mki->mj", Y, dxi[obs_pose])  # (M, 3)
     dX = -jnp.einsum("mij,mj->mi", Vinv, gx + YtdP)
     return dxi, dX
