@@ -74,6 +74,21 @@ def main():
     print(f"descriptor sampling, 1-bin bound: {t_one:.3f} ms / frame-equivalent")
     print(f"achievable cut bound: {t_full - t_one:.3f} ms")
 
+    # The real harvested path: bin-sorted grouped matmul (ragged_dot).
+    stack = orb.sampling_stack()
+
+    @jax.jit
+    def ragged(patches, angles, stack):
+        def body(c, _):
+            d, order = orb.descriptors_sorted(c.reshape(K, -1), angles, stack)
+            return (c + d.sum() * 0.0).astype(jnp.float32), d
+
+        c, ds = jax.lax.scan(body, patches, None, length=REPS)
+        return ds
+
+    t_ragged = timed(lambda: ragged(patches, angles, stack)) / REPS
+    print(f"descriptor sampling, ragged sorted: {t_ragged:.3f} ms / frame-equivalent")
+
     # Context: the whole detect+describe at the bench shape.
     H, W = 376, 1240
     img = jnp.asarray(rng.uniform(0, 255, (H, W)).astype(np.float32))

@@ -216,3 +216,59 @@ def test_shi_tomasi_detector_matches_across_views(rng):
     assert ok.sum() > 20
     disp = np.asarray(f2.xy)[ti[ok]] - np.asarray(f1.xy)[ok]
     np.testing.assert_allclose(np.median(disp, axis=0), [dx, dy], atol=1.0)
+
+
+def test_descriptors_sorted_matches_dense():
+    """The grouped-matmul (bin-sorted ragged_dot) descriptor path must
+    produce the same descriptor per keypoint as the dense 30-bin matmul,
+    with all fields permuted consistently."""
+    import numpy as np
+    import jax.numpy as jnp
+    from visual_slam_tpu.ops import orb
+
+    rng = np.random.default_rng(3)
+    K = 64
+    P = orb.PATCH
+    patches = jnp.asarray(rng.uniform(0, 255, (K, P, P)).astype(np.float32))
+    angles = jnp.asarray(rng.uniform(-np.pi, 3 * np.pi, K).astype(np.float32))
+    dense = np.asarray(orb.descriptors(patches, angles, orb.sampling_matrix()))
+    sorted_desc, order = orb.descriptors_sorted(
+        patches, angles, orb.sampling_stack()
+    )
+    sorted_desc = np.asarray(sorted_desc)
+    order = np.asarray(order)
+    # Same multiset: descriptor i of the sorted output belongs to original
+    # keypoint order[i].
+    np.testing.assert_array_equal(sorted_desc, dense[order])
+    # The permutation sorts by orientation bin.
+    two_pi = 2 * np.pi
+    bins = np.floor(np.mod(np.asarray(angles), two_pi) / two_pi * orb.N_BINS).astype(int) % orb.N_BINS
+    assert (np.diff(bins[order]) >= 0).all()
+
+
+def test_detector_ragged_descriptor_path():
+    """detect_and_describe_with_sampling accepts the (N_BINS, P, 512) stack
+    and returns bin-consistent features: each descriptor must equal the
+    dense path's descriptor for the keypoint at the same (x, y)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from visual_slam_tpu.ops import orb
+    from visual_slam_tpu.ops.detector import detect_and_describe_with_sampling
+
+    rng = np.random.default_rng(7)
+    img = jnp.asarray(rng.uniform(0, 255, (96, 128)).astype(np.float32))
+    kw = dict(num_features=64, threshold=10.0, n_levels=2, grid=4)
+    f_dense = detect_and_describe_with_sampling(img, orb.sampling_matrix(), **kw)
+    f_ragged = detect_and_describe_with_sampling(img, orb.sampling_stack(), **kw)
+    xy_d = np.asarray(f_dense.xy)
+    xy_r = np.asarray(f_ragged.xy)
+    v_d = np.asarray(f_dense.valid)
+    v_r = np.asarray(f_ragged.valid)
+    assert v_d.sum() == v_r.sum() > 10
+    d_d = np.asarray(f_dense.desc)
+    d_r = np.asarray(f_ragged.desc)
+    # Match ragged keypoints back to dense ones by exact position.
+    for i in np.nonzero(v_r)[0]:
+        j = np.nonzero(v_d & (np.abs(xy_d - xy_r[i]).sum(1) < 1e-5))[0]
+        assert len(j) == 1
+        np.testing.assert_array_equal(d_r[i], d_d[j[0]])

@@ -105,7 +105,7 @@ def detect_and_describe_with_sampling(
         sub = fast_ops.subpixel_offsets(scores, yx)
 
         blurred = pyr_ops.gaussian_blur(lvl, sigma=2.0, radius=3)
-        if sampling.shape[0] == 32 * 32:
+        if sampling.shape[-2] == 32 * 32:
             # Pallas detection tail (TPU): aligned-DMA patch gather with
             # in-register intensity-centroid moments, 32x32 descriptor
             # windows matched by the 1024-position sampling matrix. The XLA
@@ -121,7 +121,6 @@ def detect_and_describe_with_sampling(
             patches_raw = orb_ops.extract_patches(lvl, yx)
             patches_blur = orb_ops.extract_patches(blurred, yx)
             ang = orb_ops.orientations(patches_raw)
-        desc = orb_ops.descriptors(patches_blur, ang, sampling)
 
         sx = W0 / Wl
         sy = H0 / Hl
@@ -132,6 +131,17 @@ def detect_and_describe_with_sampling(
             ],
             axis=-1,
         )
+        if sampling.ndim == 3:
+            # Grouped-matmul descriptor path (orb.descriptors_sorted):
+            # features come out ORDERED BY ORIENTATION BIN — every field is
+            # permuted consistently, and per-frame keypoint order is free.
+            desc, order = orb_ops.descriptors_sorted(patches_blur, ang, sampling)
+            xy_full = xy_full[order]
+            resp = resp[order]
+            ang = ang[order]
+            valid = valid[order]
+        else:
+            desc = orb_ops.descriptors(patches_blur, ang, sampling)
         outs.append(
             Features(
                 xy=xy_full,
