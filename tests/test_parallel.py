@@ -209,3 +209,24 @@ def test_frontback_pipeline_batched_sequences():
         np.testing.assert_allclose(
             np.asarray(Ts_b)[:, s_i], np.asarray(Ts_s)[: Ts_b.shape[0]], atol=2e-4
         )
+
+
+def test_sharded_sparse_ba_matches_single_device(rng):
+    """Sparse landmark-major layout sharded over the mesh: same psum
+    structure as the dense grid (bundle_adjust_sparse_sharded)."""
+    from visual_slam_tpu.parallel.ba_sharded import bundle_adjust_sparse_sharded
+    from visual_slam_tpu.backend.ba import bundle_adjust_sparse
+    from test_ba import to_sparse
+
+    problem, T_gt, pts_gt, f = make_ba_problem(
+        rng, W=4, M=128, noise_px=0.2, n_fixed=2
+    )
+    sparse = to_sparse(problem, K=4)
+    T1, X1, info1 = bundle_adjust_sparse(sparse, n_iter=10, huber=5.0 / f)
+    mesh = make_mesh("lm")
+    T8, X8, info8 = bundle_adjust_sparse_sharded(
+        sparse, mesh, axis="lm", n_iter=10, huber=5.0 / f
+    )
+    np.testing.assert_allclose(np.asarray(T8), np.asarray(T1), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(X8), np.asarray(X1), atol=1e-3)
+    np.testing.assert_allclose(float(info8["cost"]), float(info1["cost"]), rtol=1e-3)
