@@ -230,3 +230,17 @@ def rotmat_to_euler(R: jnp.ndarray) -> jnp.ndarray:
     roll = jnp.arctan2(R[..., 2, 1], R[..., 2, 2])
     yaw = jnp.arctan2(R[..., 1, 0], R[..., 0, 0])
     return jnp.stack([roll, pitch, yaw], axis=-1)
+
+def se3_inverse(T: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form rigid-transform inverse: [R t]^-1 = [R^T, -R^T t].
+    Exact for SE(3) and avoids ``jnp.linalg.inv``'s general 4x4 LU (slow
+    lowering on TPU, and pivoting noise on a matrix whose inverse is
+    analytic). Batched over leading dims."""
+    R = T[..., :3, :3]
+    t = T[..., :3, 3]
+    Rt = jnp.swapaxes(R, -1, -2)
+    ti = -jnp.einsum("...ij,...j->...i", Rt, t)
+    out = jnp.zeros_like(T)
+    out = out.at[..., :3, :3].set(Rt)
+    out = out.at[..., :3, 3].set(ti)
+    return out.at[..., 3, 3].set(1.0)

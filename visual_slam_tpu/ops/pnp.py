@@ -115,7 +115,9 @@ def refine_pose_gn(
         JtJ = jnp.einsum("nif,n,nig->fg", J, ww, J)
         Jtr = jnp.einsum("nif,n,ni->f", J, ww, r)
         H = JtJ + damping * jnp.eye(6, dtype=R.dtype)
-        xi = -jnp.linalg.solve(H, Jtr)
+        # H is SPD (damped normal equations): Cholesky, not 6x6 LU.
+        L = jnp.linalg.cholesky(H)
+        xi = -jax.scipy.linalg.cho_solve((L, True), Jtr)
         dT = so3_exp(xi[3:])
         R_new = dT @ R
         t_new = dT @ t + xi[:3]
@@ -200,7 +202,9 @@ def refine_pose_gn_depth(
         Jtr = Jtr + jnp.einsum("nf,n,n->f", Jz, wz, rz)
 
         H = JtJ + damping * jnp.eye(6, dtype=R.dtype)
-        xi = -jnp.linalg.solve(H, Jtr)
+        # H is SPD (damped normal equations): Cholesky, not 6x6 LU.
+        L = jnp.linalg.cholesky(H)
+        xi = -jax.scipy.linalg.cho_solve((L, True), Jtr)
         dT = so3_exp(xi[3:])
         return (dT @ R, dT @ t + xi[:3]), None
 

@@ -26,6 +26,7 @@ from .ops.pnp import (
     _reproj_err2,
 )
 from .ops.projection import normalize_points
+from .ops.lie import se3_inverse
 
 
 class TrackState(NamedTuple):
@@ -216,7 +217,7 @@ def make_track_step(
         T_new = jnp.eye(4, dtype=state.T_w2c.dtype).at[:3, :3].set(R).at[:3, 3].set(t)
         ok = n_inl >= 6
         T_new = jnp.where(ok, T_new, T_pred)
-        T_rel = jnp.where(ok, T_new @ jnp.linalg.inv(state.T_w2c), state.T_rel)
+        T_rel = jnp.where(ok, T_new @ se3_inverse(state.T_w2c), state.T_rel)
 
         new_state = state._replace(T_w2c=T_new, T_rel=T_rel, key=key)
         out = TrackOutput(
