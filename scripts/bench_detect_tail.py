@@ -89,6 +89,13 @@ def main():
     t_ragged = timed(lambda: ragged(patches, angles, stack)) / REPS
     print(f"descriptor sampling, ragged sorted: {t_ragged:.3f} ms / frame-equivalent")
 
+    # Bit-equality of the ragged path on THIS backend's patch layout
+    # (the CPU tests cover the 961-row layout; the TPU runs 1024-row).
+    d_dense = np.asarray(orb.descriptors(patches.reshape(K, -1), angles, S))
+    d_sorted, order = orb.descriptors_sorted(patches.reshape(K, -1), angles, stack)
+    eq = (np.asarray(d_sorted) == d_dense[np.asarray(order)]).all()
+    print(f"ragged descriptors bit-identical: {bool(eq)}")
+
     # Context: the whole detect+describe at the bench shape.
     H, W = 376, 1240
     img = jnp.asarray(rng.uniform(0, 255, (H, W)).astype(np.float32))
