@@ -276,10 +276,14 @@ def bench_full_pipeline(num_features=2000, n_frames=64, frame_kw=None,
     if slam.state.name != "OK":
         return None
     # Warm through TWO full heavy-boundary cycles so every shape (chunk
-    # scan, compaction, the single BA bucket) compiles before the timer.
+    # scan, compaction, the single BA bucket) compiles before the timer —
+    # and align the timed span to the chunk size: flush() runs inside the
+    # timed window (it is real tail work), and a partial tail chunk would
+    # compile a FRESH scan shape there (observed 11-13 s).
+    n_end = len(frames) - (len(frames) - i) % chunk_size
     warm_end = min(
         i + 2 * max(chunk_size, 4) * cfg.tracking.heavy_boundary_every + 1,
-        len(frames) - 2 * max(chunk_size, 8),
+        n_end - 2 * max(chunk_size, 8),
     )
     while i < warm_end:
         slam.track([frames[i]], timestamp=i * 0.1)
@@ -287,7 +291,7 @@ def bench_full_pipeline(num_features=2000, n_frames=64, frame_kw=None,
 
     t0 = time.perf_counter()
     n_timed = 0
-    for k in range(i, len(frames)):
+    for k in range(i, n_end):
         slam.track([frames[k]], timestamp=k * 0.1)
         n_timed += 1
     slam.flush()
