@@ -87,3 +87,22 @@ def test_jit_and_vmap():
     R1 = jax.jit(lie.so3_exp)(w)
     R2 = jax.vmap(lie.so3_exp)(w)
     np.testing.assert_allclose(np.asarray(R1), np.asarray(R2), atol=1e-6)
+
+
+def test_se3_inverse_matches_numpy():
+    import numpy as np
+    import jax.numpy as jnp
+    from scipy.spatial.transform import Rotation
+
+    from visual_slam_tpu.ops.lie import se3_inverse
+
+    rng = np.random.default_rng(4)
+    Ts = np.tile(np.eye(4, dtype=np.float32), (5, 1, 1))
+    for i in range(5):
+        Ts[i, :3, :3] = Rotation.from_rotvec(rng.normal(0, 1, 3)).as_matrix()
+        Ts[i, :3, 3] = rng.normal(0, 5, 3)
+    inv = np.asarray(se3_inverse(jnp.asarray(Ts)))
+    np.testing.assert_allclose(inv, np.linalg.inv(Ts), atol=2e-6)
+    # single (unbatched) transform too
+    inv1 = np.asarray(se3_inverse(jnp.asarray(Ts[0])))
+    np.testing.assert_allclose(inv1, np.linalg.inv(Ts[0]), atol=2e-6)
