@@ -295,3 +295,41 @@ def test_compiled_slam_async_boundary():
     gt = np.stack([-Ts_gt[i][:3, :3].T @ Ts_gt[i][:3, 3] for i in idx])
     res = ate_rmse(est, gt, align_scale=True)
     assert res["rmse"] < 0.45, res
+
+
+def test_compiled_slam_ragged_descriptors():
+    """The ragged (bin-sorted grouped matmul) descriptor path tracks the
+    same world end-to-end through CompiledSLAM (config.feature.
+    ragged_descriptors)."""
+    import numpy as np
+    from render import render_sequence
+    from visual_slam_tpu.camera import PinholeCamera
+    from visual_slam_tpu.config import Config
+    from visual_slam_tpu.models import CompiledSLAM
+    from visual_slam_tpu.utils.metrics import ate_rmse
+    from visual_slam_tpu.ops import orb
+
+    rng = np.random.default_rng(5)
+    frames, Ts_gt, K, world = render_sequence(rng, n_frames=12, step=0.3)
+    cfg = Config()
+    cfg.feature.num_features = 320
+    cfg.feature.num_pyramid_levels = 2
+    cfg.feature.ragged_descriptors = True
+    cfg.initialization.min_inliers = 40
+    cfg.tracking.keyframe_interval = 2
+    cam = PinholeCamera(width=frames[0].shape[1], height=frames[0].shape[0], K=K)
+    try:
+        slam = CompiledSLAM(cam, cfg)
+        for i, img in enumerate(frames):
+            slam.track([img], timestamp=i * 0.1)
+        slam.flush()
+        ts, Ts = slam.trajectory()
+        idx = [int(round(t / 0.1)) for t in ts]
+        est = np.stack([-T[:3, :3].T @ T[:3, 3] for T in Ts])
+        gt = np.stack([-Ts_gt[j][:3, :3].T @ Ts_gt[j][:3, 3] for j in idx])
+        res = ate_rmse(est, gt, align_scale=True)
+        assert slam.state.name == "OK"
+        assert res["rmse"] < 0.3, res["rmse"]  # same math; near-tie bits may
+        # flip vs dense (chaotic on this tiny world) — gate on sane tracking
+    finally:
+        orb.set_ragged_descriptors(False)  # don't leak into other tests

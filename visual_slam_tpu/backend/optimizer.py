@@ -359,14 +359,25 @@ class LMOptimizer(BaseOptimizer):
         # the REMOVED set is iterated — typically a handful per solve.
         removed = packed_valid & ~np.asarray(info["obs_kept"])
         obs_pose = pending["obs_pose"]
+
+        def _remove_if_current(kf, kp_idx: int, mp) -> None:
+            # Async-solve guard: between pack and writeback, landmark FUSION
+            # (or a relinked association) may have re-pointed this keypoint
+            # slot at a DIFFERENT landmark — removing it then deletes a good
+            # link made after the snapshot (observed as the threaded-mode
+            # ATE tail). Only remove the link the solver actually judged.
+            if kf.get_map_point(0, kp_idx) is mp:
+                kf.remove_map_point(0, kp_idx)
+
         if obs_pose is not None:  # sparse (M, K) layout: pose slot per obs
             for i, k in zip(*np.nonzero(removed)):
-                keyframes[int(obs_pose[i, k])].remove_map_point(
-                    0, int(kp_of[i, k])
+                _remove_if_current(
+                    keyframes[int(obs_pose[i, k])], int(kp_of[i, k]),
+                    used_points[i],
                 )
         else:
             for i, j in zip(*np.nonzero(removed)):
-                keyframes[j].remove_map_point(0, int(kp_of[i, j]))
+                _remove_if_current(keyframes[j], int(kp_of[i, j]), used_points[i])
         for i in set(np.nonzero(removed)[0].tolist()):
             # Only fully orphaned landmarks die here: single-observation
             # points still serve PnP tracking, and keyframe culling may

@@ -40,6 +40,10 @@ class FeatureConfig:
     num_pyramid_levels: int = 4
     scale_factor: float = 1.2
     grid_cells: int = 8  # spatial-balance grid (replaces ANMS/grid filters)
+    # Bin-sorted grouped-matmul rBRIEF (ops/orb.descriptors_sorted): 1/30
+    # the descriptor-sampling FLOPs, bit-identical descriptors, features
+    # returned in orientation-bin order. Off until the TPU A/B lands.
+    ragged_descriptors: bool = False
     detector_params: Dict[str, Any] = field(default_factory=dict)
     matcher_params: Dict[str, Any] = field(default_factory=dict)
     filter_params: Dict[str, Any] = field(default_factory=dict)

@@ -66,6 +66,9 @@ class CompiledSLAM:
         self.config = config or Config()
         self.logger = get_logger("compiled_slam", log_dir)
         fcfg = self.config.feature
+        from ..ops import orb as _orb
+
+        _orb.set_ragged_descriptors(fcfg.ragged_descriptors)
         tcfg = self.config.tracking
         self.map = Map(max_frames=self.config.map.max_frames)
         self.optimizer = LMOptimizer(self.config, camera, logger=self.logger)

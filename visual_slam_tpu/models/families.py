@@ -224,7 +224,7 @@ class PipelinedVO:
         frames = np.stack([im for im, _ in buf] + [buf[-1][0]])
         Ts, n_inls = self._pp(
             frames, self._ref_feats, self._ref_lm, self._ref_has,
-            self._T_cur, orb_ops.sampling_matrix(),
+            self._T_cur, orb_ops.active_sampling(),
         )
         Ts, n_inls = jax.device_get((Ts, n_inls))
         Ts, n_inls = np.asarray(Ts, np.float64)[1 : n + 1], np.asarray(n_inls)[1 : n + 1]

@@ -220,6 +220,29 @@ def sampling_stack() -> jnp.ndarray:
     return _sampling_stack
 
 
+_RAGGED_DESC = None  # None -> env default, resolved lazily
+
+
+def set_ragged_descriptors(on: bool) -> None:
+    """Select the descriptor path threaded by :func:`active_sampling`:
+    bin-sorted grouped matmul (True) or dense 30-bin matmul (False).
+    Wired from config.feature.ragged_descriptors by the model facades."""
+    global _RAGGED_DESC
+    _RAGGED_DESC = bool(on)
+
+
+def active_sampling() -> jnp.ndarray:
+    """The sampling operand matching the active descriptor path — its RANK
+    selects the path inside detect_and_describe_with_sampling (2-D = dense
+    30-bin matmul, 3-D stack = bin-sorted ragged_dot)."""
+    import os
+
+    on = _RAGGED_DESC
+    if on is None:
+        on = os.environ.get("VSLAM_RAGGED_DESC", "0") == "1"
+    return sampling_stack() if on else sampling_matrix()
+
+
 def descriptors_sorted(
     patches: jnp.ndarray, angles: jnp.ndarray, stack: jnp.ndarray
 ) -> tuple[jnp.ndarray, jnp.ndarray]:

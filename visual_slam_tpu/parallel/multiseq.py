@@ -20,7 +20,7 @@ def batched_track_step(track_step):
     """vmap a single-sequence track step over a leading batch axis (the
     sampling matrix is broadcast, not batched)."""
     vstep = jax.vmap(track_step.jitted, in_axes=(0, 0, None))
-    return lambda states, imgs: vstep(states, imgs, orb_ops.sampling_matrix())
+    return lambda states, imgs: vstep(states, imgs, orb_ops.active_sampling())
 
 
 def make_batched_vo(
@@ -41,7 +41,7 @@ def make_batched_vo(
         return vstep(states, imgs, sampling)
 
     def sharded_step(states: TrackState, imgs: jnp.ndarray):
-        return _sharded_step(states, imgs, orb_ops.sampling_matrix())
+        return _sharded_step(states, imgs, orb_ops.active_sampling())
 
     return sharded_step
 

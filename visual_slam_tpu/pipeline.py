@@ -237,7 +237,7 @@ def make_track_step(
 
     def track_step(state: TrackState, img: jnp.ndarray):
         # The sampling matrix rides as a traced argument (uploaded once).
-        return _track_step(state, img, orb_ops.sampling_matrix())
+        return _track_step(state, img, orb_ops.active_sampling())
 
     track_step.jitted = _track_step  # explicit-sampling variant for composition
     return track_step
@@ -271,7 +271,7 @@ def make_track_chunk(track_step):
     def chunk(state: TrackState, imgs: jnp.ndarray):
         from .ops import orb as orb_ops
 
-        return _chunk(state, imgs, orb_ops.sampling_matrix())
+        return _chunk(state, imgs, orb_ops.active_sampling())
 
     chunk.jitted = _chunk
     return chunk
@@ -407,7 +407,7 @@ def make_track_chunk_promote(
             jnp.asarray(fsr, jnp.int32),
             jnp.asarray(T_ref, jnp.float32),
             imgs,
-            orb_ops.sampling_matrix(),
+            orb_ops.active_sampling(),
         )
 
     chunk.jitted = _chunk
@@ -675,7 +675,7 @@ def make_frame_step(
         from .ops import orb as orb_ops
 
         return _frame_step(
-            img, lm_pos, lm_desc, lm_valid, T_pred, key, orb_ops.sampling_matrix()
+            img, lm_pos, lm_desc, lm_valid, T_pred, key, orb_ops.active_sampling()
         )
 
     frame_step.jitted = _frame_step

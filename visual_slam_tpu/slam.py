@@ -37,6 +37,9 @@ class SLAM:
         self.config = config or Config()
         self.state = State.NO_IMAGES_YET
         self.logger = get_logger("slam", log_dir=log_dir)
+        from .ops import orb as _orb
+
+        _orb.set_ragged_descriptors(self.config.feature.ragged_descriptors)
 
         # Component wiring (reference slam.py:34-44).
         self.feature_tracker = FeatureTracker(self.config.feature)
@@ -110,6 +113,20 @@ class SLAM:
             self.local_handler.join(2.0)
             self.global_handler.join(2.0)
         self.local_mapping.drain()
+        if self.threaded and self.map.num_keyframes() >= 2:
+            # Final synchronous refinement (standard SLAM shutdown): the
+            # background threads may have stopped mid-solve or written back
+            # a solve packed from a now-stale snapshot — one clean full-map
+            # BA on the quiesced map consolidates it (collapses the
+            # thread-interleaving ATE tail: 10 reps measured 0.03-0.61
+            # without, the tail being late/stale writebacks, not gauge
+            # mixing).
+            try:
+                self.optimizer.optimize_global(
+                    self.map.get_keyframes(), self.map.get_map_points()
+                )
+            except Exception:  # pragma: no cover - shutdown must not raise
+                self.logger.exception("final shutdown BA failed")
         self.logger.info(
             "shutdown: %d keyframes, %d landmarks", self.map.num_keyframes(), self.map.num_map_points()
         )

@@ -74,6 +74,11 @@ class Tracking:
         # Relocalization place-recognition cache: kf_id -> (V,) global
         # signature (loop_closing/signature.py), backfilled lazily.
         self._reloc_sig_table: dict[int, np.ndarray] = {}
+        # (ref_kf_id, T_w2c at gather time): a concurrent BA writeback may
+        # move the reference keyframe between this frame's landmark gather
+        # and its promotion; the keyframe is then re-anchored through the
+        # reference's pose delta (ORB-SLAM's reference-relative pose).
+        self._gather_ref_snap: tuple[int, np.ndarray] | None = None
         from .trackingalgorithm import FusedMonoTracking, MonoTracking
 
         # Pluggable strategy (trackingalgorithm/).
@@ -252,14 +257,19 @@ class Tracking:
         proves the gather saw one gauge. On a torn read, retry; as a last
         resort take the map lock (blocks the BA thread's writeback).
         Records the snapshot version for the end-of-frame catch-up."""
+        ref = self.reference_keyframe
         for _ in range(3):
             v0 = self.map.gauge_version
             out = fn()
             if self.map.gauge_version == v0:
                 self._gather_gauge_version = v0
+                if ref is not None:
+                    self._gather_ref_snap = (ref.keyframe_id, ref.T_w2c.copy())
                 return out
         with self.map._lock:
             self._gather_gauge_version = self.map.gauge_version
+            if ref is not None:
+                self._gather_ref_snap = (ref.keyframe_id, ref.T_w2c.copy())
             return fn()
 
     @staticmethod
@@ -282,6 +292,16 @@ class Tracking:
         if frame is not None and self._gather_gauge_version != v_now:
             s, b = self.map.gauge_since(self._gather_gauge_version)
             self._apply_similarity_to_pose(frame, s, b)
+            # Keep the gather-time reference snapshot in the SAME gauge, so
+            # the promotion-time reference-delta correction measures only
+            # non-gauge BA movement (no double-correction).
+            if self._gather_ref_snap is not None:
+                _, T_snap = self._gather_ref_snap
+                R = T_snap[:3, :3]
+                C = s * (-R.T @ T_snap[:3, 3]) + b
+                T_snap = T_snap.copy()
+                T_snap[:3, 3] = -R @ C
+                self._gather_ref_snap = (self._gather_ref_snap[0], T_snap)
         if self._gauge_seen != v_now:
             s, b = self.map.gauge_since(self._gauge_seen)
             if self.last_frame is not None and self.last_frame is not frame:
@@ -535,6 +555,24 @@ class Tracking:
     def _create_keyframe(self, frame: Frame, match_res, info: dict) -> None:
         """Promote to keyframe, inherit tracked landmarks, hand to local
         mapping (reference tracking.py:582-585)."""
+        # Re-anchor through the reference keyframe's pose delta: if an async
+        # BA writeback moved the map between this frame's landmark gather
+        # and now, the solved pose is expressed against PRE-solve geometry.
+        # T_rel = T_frame @ inv(T_ref_at_gather) is BA-invariant; promoting
+        # T_rel @ T_ref_now keeps the new keyframe consistent with the map
+        # it joins. No-op in synchronous mode (delta is identity).
+        snap = self._gather_ref_snap
+        ref = self.reference_keyframe
+        if (
+            snap is not None
+            and ref is not None
+            and snap[0] == ref.keyframe_id
+        ):
+            with self.map._lock:
+                T_ref_now = ref.T_w2c.copy()
+            if not np.allclose(T_ref_now, snap[1], atol=1e-12):
+                T_new = frame.T_w2c @ np.linalg.inv(snap[1]) @ T_ref_now
+                frame.set_pose_Rt(T_new[:3, :3], T_new[:3, 3])
         kf = KeyFrame.from_frame(frame)
         # Gauge stamp: the pose is current as of the catch-up this frame;
         # the (threaded) mapping consumer re-checks before triangulating.
