@@ -106,7 +106,19 @@ def make_ba_problem(rng, K_np, Wk=10, M=4096, noise=0.05):
 
 
 def bench_ba(K_np):
-    """Median/p90 BA latency over DISTINCT problems, blocked per call."""
+    """Honest BA latency, two ways (VERDICT r3 weak #3 — the old
+    block_until_ready number read 0.075 ms against a measured ~40 ms/sync
+    relay model, i.e. it timed async dispatch, not the solve):
+
+    * blocked_fetch: per-call wall time with the solve's final COST VALUE
+      fetched to host inside the timed region — a forced device round trip,
+      so this is solve + one relay sync (the deployment boundary cost).
+    * scan amortized: 8 distinct problems stacked and solved inside ONE
+      lax.scan program, one value fetch at the end — total/8 is the pure
+      device compute per solve (the relay sync amortizes away).
+
+    Returns (median_blocked_ms, p90_blocked_ms, scan_ms_per_solve).
+    """
     import jax
 
     from visual_slam_tpu.backend.ba import bundle_adjust
@@ -114,17 +126,42 @@ def bench_ba(K_np):
     rng = np.random.default_rng(1)
     huber = 5.0 / float(K_np[0, 0])
     problems = [make_ba_problem(rng, K_np) for _ in range(8)]
-    # Warmup/compile on a throwaway problem.
-    Tb, _, _ = bundle_adjust(make_ba_problem(rng, K_np), n_iter=20, huber=huber)
-    jax.block_until_ready(Tb)
+    stacked = jax.tree.map(lambda *xs: np.stack(xs), *problems)
+
+    import jax.numpy as jnp
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("n_iter",))
+    def ba_scan(probs, n_iter, huber):
+        def body(_, p):
+            _, _, info = bundle_adjust(p, n_iter=n_iter, huber=huber)
+            return 0, info["cost"]
+
+        _, costs = jax.lax.scan(body, 0, probs)
+        return costs
+
+    # Warmup/compile on a throwaway problem (both programs).
+    _, _, info = bundle_adjust(make_ba_problem(rng, K_np), n_iter=20, huber=huber)
+    float(info["cost"])
+    float(ba_scan(stacked, 20, huber)[0])
+
     times = []
     for p in problems:
         t0 = time.perf_counter()
-        Tb, _, _ = bundle_adjust(p, n_iter=20, huber=huber)
-        jax.block_until_ready(Tb)
+        _, _, info = bundle_adjust(p, n_iter=20, huber=huber)
+        _ = float(info["cost"])  # value fetch INSIDE the timed region
         times.append((time.perf_counter() - t0) * 1e3)
     times = np.asarray(times)
-    return float(np.median(times)), float(np.percentile(times, 90))
+
+    t0 = time.perf_counter()
+    costs = ba_scan(stacked, 20, huber)
+    _ = float(costs[-1])
+    scan_ms = (time.perf_counter() - t0) * 1e3 / len(problems)
+    return (
+        float(np.median(times)),
+        float(np.percentile(times, 90)),
+        float(scan_ms),
+    )
 
 
 def bench_vo_step(imgs, K_np, num_features=2000):
@@ -314,8 +351,216 @@ def bench_full_pipeline(num_features=2000, n_frames=64, frame_kw=None,
     }
 
 
-def main():
+# TPU v5e (v5 lite) peak: 197 TFLOP/s bf16 / ~98.5 TFLOP/s fp32-ish via
+# multi-pass. MFU is reported against the bf16 peak — a deliberate
+# UNDER-estimate for the fp32-precision geometry paths (the package forces
+# jax_default_matmul_precision=highest), but a stable, comparable roofline.
+_V5E_PEAK_FLOPS = 197e12
+
+
+def _flops_of(jitted, *args, **kwargs):
+    """XLA-reported FLOPs of one call via the AOT cost model; None if the
+    lowering/cost query fails (not all backends report it)."""
+    try:
+        ca = jitted.lower(*args, **kwargs).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        f = float(ca.get("flops", 0.0))
+        return f if f > 0 else None
+    except Exception:
+        return None
+
+
+def _mfu(flops, seconds, platform):
+    if flops is None or seconds <= 0 or platform != "tpu":
+        return None
+    return round(100.0 * flops / seconds / _V5E_PEAK_FLOPS, 3)
+
+
+def bench_multiseq(imgs_np, K_np, n_seq=4, num_features=2000):
+    """BASELINE config 5 surface: ``n_seq`` independent sequences tracked by
+    ONE vmapped program on one chip (the seq mesh axis is how the same code
+    scales across chips — tests/dryrun run it sharded). Returns aggregate
+    frames/s across the batch — the data-parallel scale-out win vs running
+    the single-sequence step n_seq times."""
     import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from visual_slam_tpu.ops.detector import detect_and_describe
+    from visual_slam_tpu.parallel.multiseq import make_batched_vo, shard_batch
+    from visual_slam_tpu.pipeline import init_track_state
+
+    rng = np.random.default_rng(7)
+    K = jnp.asarray(K_np)
+    mesh = Mesh(np.asarray(jax.devices()[:1]), ("seq",))
+    step = make_batched_vo(K, mesh, axis="seq", num_features=num_features, n_levels=4)
+
+    states = []
+    Kinv = np.linalg.inv(K_np)
+    for s in range(n_seq):
+        feats0 = detect_and_describe(
+            imgs_np[s % len(imgs_np)], num_features=num_features,
+            threshold=20.0, n_levels=4,
+        )
+        xy = np.asarray(feats0.xy)
+        z = rng.uniform(8, 40, num_features).astype(np.float32)
+        rays = np.concatenate([xy, np.ones((num_features, 1), np.float32)], 1) @ Kinv.T
+        states.append(
+            init_track_state(
+                feats0, rays * z[:, None], np.asarray(feats0.valid),
+                np.eye(4), seed=s,
+            )
+        )
+    states = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+    states = shard_batch(mesh, "seq", states)
+    frames = np.stack(
+        [np.stack([imgs_np[(s + i) % len(imgs_np)] for s in range(n_seq)])
+         for i in range(4)]
+    )  # (4 steps, n_seq, H, W) distinct batches to cycle
+    batches = [shard_batch(mesh, "seq", jnp.asarray(b)) for b in frames]
+    states, out = step(states, batches[0])
+    jax.block_until_ready(out.T_w2c)
+    n_iter = 30
+    t0 = time.perf_counter()
+    s = states
+    for i in range(n_iter):
+        s, out = step(s, batches[i % len(batches)])
+    jax.block_until_ready(out.T_w2c)
+    return n_seq * n_iter / (time.perf_counter() - t0)
+
+
+def bench_pose_graph(n_nodes=256, n_loops=8, n_iter=10):
+    """Loop-closure back-end latency (BASELINE config 5's pose graph): an
+    odometry chain of ``n_nodes`` keyframe poses with drift + ``n_loops``
+    loop edges, solved by Gauss-Newton (loop_closing/pose_graph.py).
+    Returns (ms_per_solve, residual_cost). Reference counterpart: none
+    (loop_closing/ is 0 bytes there)."""
+    import jax.numpy as jnp
+
+    from visual_slam_tpu.loop_closing.pose_graph import (
+        build_sequential_graph,
+        optimize_pose_graph,
+    )
+
+    rng = np.random.default_rng(3)
+    poses = np.tile(np.eye(4, dtype=np.float32), (n_nodes, 1, 1))
+    for i in range(n_nodes):
+        poses[i, 0, 3] = -0.5 * i - (0.02 * i * rng.uniform(0.5, 1.0))
+    loops = []
+    for k in range(n_loops):
+        i = int(rng.integers(n_nodes // 2, n_nodes - 1))
+        j = int(rng.integers(0, n_nodes // 4))
+        T_true_i = np.eye(4, dtype=np.float32)
+        T_true_i[0, 3] = -0.5 * i
+        T_true_j = np.eye(4, dtype=np.float32)
+        T_true_j[0, 3] = -0.5 * j
+        loops.append((i, j, T_true_i @ np.linalg.inv(T_true_j)))
+    graph = build_sequential_graph(jnp.asarray(poses), loop_edges=loops)
+    T, info = optimize_pose_graph(graph, n_iter=n_iter)
+    float(info["cost"])  # compile warmup
+    t0 = time.perf_counter()
+    T, info = optimize_pose_graph(graph, n_iter=n_iter)
+    cost = float(info["cost"])  # value fetch inside the timed region
+    return (time.perf_counter() - t0) * 1e3, cost
+
+
+def _init_backend(errors, max_tries=3):
+    """jax.devices() with retry/backoff, then CPU fallback: one wedged relay
+    must degrade the numbers, not zero out the round (VERDICT r3 weak #1 —
+    BENCH_r03 died at backend init with no JSON at all)."""
+    import jax
+
+    for attempt in range(max_tries):
+        try:
+            return jax.devices()[0]
+        except Exception as e:  # noqa: BLE001 — anything here means retry
+            errors.append(f"backend-init[{attempt}]: {str(e)[:160]}")
+            try:
+                jax._src.xla_bridge._clear_backends()
+            except Exception:
+                pass
+            time.sleep(5.0 * (attempt + 1))
+    try:
+        jax.config.update("jax_platforms", "cpu")
+        try:
+            jax._src.xla_bridge._clear_backends()
+        except Exception:
+            pass
+        dev = jax.devices()[0]
+        errors.append("TPU unavailable after retries — CPU FALLBACK numbers")
+        return dev
+    except Exception as e:  # noqa: BLE001
+        errors.append(f"cpu-fallback: {str(e)[:160]}")
+        return None
+
+
+def main():
+    errors: list[str] = []
+    extra: dict = {}
+    t_start = time.time()
+    emitted = {"done": False}
+
+    def run(name, fn, *args, **kwargs):
+        try:
+            t0 = time.perf_counter()
+            out = fn(*args, **kwargs)
+            extra[f"_sec_{name}"] = round(time.perf_counter() - t0, 1)
+            return out
+        except Exception as e:  # noqa: BLE001 — record, keep benching
+            errors.append(f"{name}: {type(e).__name__}: {str(e)[:240]}")
+            return None
+
+    def emit(value):
+        emitted["done"] = True
+        payload = {
+            "metric": "tracked_fps_2000feat_kitti",
+            "value": round(value, 2) if value else 0.0,
+            "unit": "fps",
+            "vs_baseline": round((value or 0.0) / 30.0, 3),
+            "extra": extra,
+        }
+        if errors:
+            payload["errors"] = errors
+        try:
+            import os
+
+            os.makedirs("benchlogs", exist_ok=True)
+            with open(f"benchlogs/bench_{int(t_start)}.json", "w") as f:
+                json.dump(payload, f, indent=1)
+        except Exception:
+            pass
+        print(json.dumps(payload))
+
+    # Watchdog: a wedged relay can HANG a device call forever (not just
+    # error); after the deadline, emit whatever completed and exit 0 so the
+    # driver still parses a JSON line (partial numbers beat none).
+    import os
+    import threading
+
+    deadline = float(os.environ.get("BENCH_WATCHDOG_S", "3000"))
+
+    def _watchdog():
+        time.sleep(deadline)
+        if not emitted["done"]:
+            errors.append(
+                f"watchdog: bench exceeded {deadline:.0f}s (relay wedge?) — "
+                "partial results"
+            )
+            emit(extra.get("_tracked_fps", 0.0))
+            os._exit(0)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
+    import jax
+
+    dev = _init_backend(errors)
+    if dev is None:
+        emit(0.0)
+        return
+    platform = dev.platform
+    extra["backend"] = "tpu" if platform == "tpu" else platform
+    extra["device"] = str(dev)
 
     num_features = 2000
     frames, K_np, _ = synth_kitti_frames()
@@ -324,37 +569,77 @@ def main():
     imgs = [jnp.asarray(f) for f in frames]
 
     # BA first (relay dispatch inflation, see module docstring).
-    ba_med, ba_p90 = bench_ba(K_np)
-    fps = bench_vo_step(imgs, K_np, num_features)
-    fps_stereo, z_frac, stereo_inl = bench_stereo_step(K_np, num_features)
-    full = bench_full_pipeline(num_features)
+    ba = run("ba", bench_ba, K_np)
+    if ba is not None:
+        ba_med, ba_p90, ba_scan_ms = ba
+        extra["ba_ms_blocked_fetch_10kf_4096pts_20iter"] = round(ba_med, 3)
+        extra["ba_ms_blocked_fetch_p90"] = round(ba_p90, 3)
+        extra["ba_ms_per_solve_scan8"] = round(ba_scan_ms, 3)
+        try:
+            from visual_slam_tpu.backend.ba import bundle_adjust
 
-    extra = {
-        "ba_ms_median_10kf_4096pts_20iter": round(ba_med, 3),
-        "ba_ms_p90": round(ba_p90, 3),
-        "stereo_tracked_fps": round(fps_stereo, 2),
-        "stereo_kp_z_valid_frac": round(z_frac, 3),
-        "stereo_n_inliers": stereo_inl,
-        "backend": jax.devices()[0].platform,
-        "device": str(jax.devices()[0]),
-    }
+            rngf = np.random.default_rng(1)
+            fl = _flops_of(
+                bundle_adjust, make_ba_problem(rngf, K_np), n_iter=20,
+                huber=5.0 / float(K_np[0, 0]),
+            )
+            if fl is not None:
+                extra["ba_gflop_per_solve"] = round(fl / 1e9, 2)
+                m = _mfu(fl, ba_scan_ms / 1e3, platform)
+                if m is not None:
+                    extra["ba_mfu_pct_bf16peak"] = m
+        except Exception as e:  # noqa: BLE001
+            errors.append(f"ba-flops: {str(e)[:120]}")
+
+    fps = run("vo", bench_vo_step, imgs, K_np, num_features)
+    if fps is not None:
+        extra["_tracked_fps"] = round(fps, 2)
+        try:
+            from visual_slam_tpu.ops import orb as orb_ops
+            from visual_slam_tpu.ops.detector import detect_and_describe
+            from visual_slam_tpu.pipeline import init_track_state, make_track_step
+
+            step = make_track_step(jnp.asarray(K_np), num_features=num_features, n_levels=4)
+            feats0 = detect_and_describe(
+                imgs[0], num_features=num_features, threshold=20.0, n_levels=4
+            )
+            st = init_track_state(
+                feats0, np.zeros((num_features, 3), np.float32),
+                np.asarray(feats0.valid), np.eye(4), seed=0,
+            )
+            fl = _flops_of(step.jitted, st, imgs[0], orb_ops.active_sampling())
+            if fl is not None:
+                extra["track_step_gflop"] = round(fl / 1e9, 2)
+                m = _mfu(fl, 1.0 / fps, platform)
+                if m is not None:
+                    extra["track_step_mfu_pct_bf16peak"] = m
+        except Exception as e:  # noqa: BLE001
+            errors.append(f"track-flops: {str(e)[:120]}")
+
+    stereo = run("stereo", bench_stereo_step, K_np, num_features)
+    if stereo is not None:
+        fps_stereo, z_frac, stereo_inl = stereo
+        extra["stereo_tracked_fps"] = round(fps_stereo, 2)
+        extra["stereo_kp_z_valid_frac"] = round(z_frac, 3)
+        extra["stereo_n_inliers"] = stereo_inl
+
+    full = run("full_pipeline", bench_full_pipeline, num_features)
     if full is not None:
         extra["full_pipeline_fps"] = full["fps"]
         extra["full_pipeline_ate_pct_of_path"] = full["ate_pct_of_path"]
         extra["full_pipeline_keyframes"] = full["keyframes"]
         extra["full_pipeline_landmarks"] = full["landmarks"]
 
-    print(
-        json.dumps(
-            {
-                "metric": "tracked_fps_2000feat_kitti",
-                "value": round(fps, 2),
-                "unit": "fps",
-                "vs_baseline": round(fps / 30.0, 3),
-                "extra": extra,
-            }
-        )
-    )
+    ms = run("multiseq4", bench_multiseq, frames, K_np, 4, num_features)
+    if ms is not None:
+        extra["multiseq4_agg_fps"] = round(ms, 2)
+
+    pg = run("pose_graph", bench_pose_graph)
+    if pg is not None:
+        extra["pose_graph_ms_256kf_8loops"] = round(pg[0], 2)
+        extra["pose_graph_cost"] = round(pg[1], 6)
+
+    emit(fps or 0.0)
 
 
 if __name__ == "__main__":

@@ -46,10 +46,7 @@ def _project_raw(K, D, pts_cam):
     return np.asarray(denormalize_points(K.astype(np.float32), xy_d))
 
 
-def test_rectified_rows_align_and_disparity_is_metric(rig):
-    """After sparse rectification, corresponding points land on the SAME row
-    in both rectified images, and disparity = f_new * baseline / z_rect."""
-    K1, D1, K2, D2, R, T = rig
+def _assert_rows_align_and_disparity_is_metric(K1, D1, K2, D2, R, T):
     rect = stereo_rectify(K1, D1, K2, D2, R, T)
     rng = np.random.default_rng(0)
     pts1 = np.stack(
@@ -77,6 +74,25 @@ def test_rectified_rows_align_and_disparity_is_metric(rig):
     f_new = rect["K_new"][0, 0]
     z_from_d = f_new * rect["baseline"] / disparity
     assert np.abs(z_from_d - z_rect).max() < 0.05 * z_rect.max()
+
+
+def test_rectified_rows_align_and_disparity_is_metric(rig):
+    """After sparse rectification, corresponding points land on the SAME row
+    in both rectified images, and disparity = f_new * baseline / z_rect."""
+    K1, D1, K2, D2, R, T = rig
+    _assert_rows_align_and_disparity_is_metric(K1, D1, K2, D2, R, T)
+
+
+def test_negative_x_rig_disparity_is_metric(rig):
+    """A rig whose second camera sits at NEGATIVE x in left-camera
+    coordinates (swapped wiring) must still yield positive metric disparity:
+    rectified +x rides the actual baseline direction so camera 2 always
+    lands at +baseline, as P2/Q encode (ADVICE r3: an e1 sign flip put such
+    rigs' second camera at -baseline and broke the disparity sign)."""
+    K1, D1, K2, D2, R, _ = rig
+    C2 = np.array([-0.11, 0.002, -0.004])
+    T = -R @ C2
+    _assert_rows_align_and_disparity_is_metric(K1, D1, K2, D2, R, T)
 
 
 def test_dense_remap_matches_sparse_rectification(rig):

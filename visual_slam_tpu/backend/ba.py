@@ -322,9 +322,12 @@ def bundle_adjust_robust(
 # its Schur cross term ``muik,mvjk->uivj`` is O(M W^2) — the dominant device
 # cost of every boundary solve once W reaches the 32/64 bucket floors.
 # The sparse layout stores K observation SLOTS per landmark (pose index +
-# measurement), making every term O(M K^2) with K ~ the true track length
-# (16 covers the window solves); pose-indexed reductions go through
-# ``segment_sum``. Same LM/Schur math, same info dict, ~W^2/K^2 less FLOPs.
+# measurement), so residuals/Jacobians/V/Y cost O(M K) instead of O(M W);
+# pose-indexed reductions fold a one-hot indicator into dense einsums (MXU
+# matmuls — segment_sum scatters are serial on TPU). The Schur cross term is
+# scattered to dense per-pose slots and contracted in one (W6, M3)x(M3, W6)
+# matmul, so it stays O(M W^2) like the dense solver; the win is the K-axis
+# terms and the (M, K) working set. Same LM/Schur math, same info dict.
 # ---------------------------------------------------------------------------
 
 
@@ -386,10 +389,14 @@ def _solve_step_sparse(
 ):
     """One LM linear solve on the sparse layout: returns (dxi, dX).
 
-    Pose-block reductions (U, gp, S_cross, b) scatter per-observation
-    contributions with ``segment_sum``; landmark blocks (V, gx, back-subst)
-    reduce locally over the K axis. With ``axis_name``, the landmark axis is
-    sharded exactly as in the dense solver (psum completes pose blocks)."""
+    Pose-indexed reductions (U, gp, S_cross, b) fold a ONE-HOT pose
+    indicator into dense einsums instead of ``jax.ops.segment_sum``: on TPU
+    a ~1M-element segment_sum lowers to a SERIAL scatter (measured
+    11 s/solve at W=32, CLAUDE.md "TPU linear-algebra lowering"), while the
+    equivalent one-hot contraction is an MXU matmul. Landmark blocks (V, gx,
+    back-subst) reduce locally over the K axis. With ``axis_name``, the
+    landmark axis is sharded exactly as in the dense solver (psum completes
+    pose blocks)."""
     M, K = uv.shape[:2]
     W = T_w2c.shape[0]
     r, Jp, Jx, in_front = _residuals_and_jacobians_sparse(
@@ -397,18 +404,10 @@ def _solve_step_sparse(
     )
     w = w_obs * _robust_weights(r, huber) * in_front  # (M, K)
     Jp = Jp * pose_free[obs_pose][..., None, None]
+    onehot = jax.nn.one_hot(obs_pose, W, dtype=r.dtype)  # (M, K, W)
 
-    seg = obs_pose.reshape(-1)  # (MK,)
-    U = jax.ops.segment_sum(
-        jnp.einsum("mkai,mk,mkaj->mkij", Jp, w, Jp).reshape(M * K, 6, 6),
-        seg,
-        num_segments=W,
-    )  # (W, 6, 6)
-    gp = jax.ops.segment_sum(
-        jnp.einsum("mkai,mk,mka->mki", Jp, w, r).reshape(M * K, 6),
-        seg,
-        num_segments=W,
-    )  # (W, 6)
+    U = jnp.einsum("mkai,mk,mkaj,mkw->wij", Jp, w, Jp, onehot)  # (W, 6, 6)
+    gp = jnp.einsum("mkai,mk,mka,mkw->wi", Jp, w, r, onehot)  # (W, 6)
     V = jnp.einsum("mkai,mk,mkaj->mij", Jx, w, Jx)  # (M, 3, 3)
     gx = jnp.einsum("mkai,mk,mka->mi", Jx, w, r)  # (M, 3)
     Y = jnp.einsum("mkai,mk,mkaj->mkij", Jp, w, Jx)  # (M, K, 6, 3)
@@ -422,18 +421,16 @@ def _solve_step_sparse(
     Vinv = _inv3x3(V)  # (M, 3, 3), closed form
 
     T_blk = jnp.einsum("mkij,mjl->mkil", Y, Vinv)  # (M, K, 6, 3)
-    # Pairwise cross blocks within each landmark's track: O(M K^2), the
-    # whole point of the sparse layout (dense was O(M W^2)).
-    C = jnp.einsum("mkil,mqjl->mkqij", T_blk, Y)  # (M, K, K, 6, 6)
-    pair_seg = (obs_pose[:, :, None] * W + obs_pose[:, None, :]).reshape(-1)
-    S_cross = jax.ops.segment_sum(
-        C.reshape(M * K * K, 6, 6), pair_seg, num_segments=W * W
-    ).reshape(W, W, 6, 6).transpose(0, 2, 1, 3)  # (W, 6, W, 6)
-    b_local = -jax.ops.segment_sum(
-        jnp.einsum("mkil,ml->mki", T_blk, gx).reshape(M * K, 6),
-        seg,
-        num_segments=W,
-    )  # (W, 6)
+    # Cross blocks: scatter each landmark's K observation blocks into dense
+    # per-pose slots via the one-hot matmul, then contract landmarks away in
+    # ONE big (W6, M3) x (M3, W6) matmul. Versus the pairwise (M, K, K)
+    # form + pair segment_sum this trades O(M K^2) "ideal" FLOPs for
+    # O(M W^2) MXU FLOPs — and wins by ~1000x wall-clock on TPU because the
+    # scatter was serial (same trade as the dense solver's cross term).
+    Tb_w = jnp.einsum("mkil,mkw->mwil", T_blk, onehot)  # (M, W, 6, 3)
+    Y_w = jnp.einsum("mkjl,mkw->mwjl", Y, onehot)  # (M, W, 6, 3)
+    S_cross = jnp.einsum("muil,mvjl->uivj", Tb_w, Y_w)  # (W, 6, W, 6)
+    b_local = -jnp.einsum("mkil,ml,mkw->wi", T_blk, gx, onehot)  # (W, 6)
     if axis_name is not None:
         S_cross = jax.lax.psum(S_cross, axis_name)
         b_local = jax.lax.psum(b_local, axis_name)

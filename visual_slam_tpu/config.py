@@ -182,12 +182,11 @@ class OptimizationConfig:
     point_bucket_floor: int = 1024
     # Sparse landmark-major BA: K observation slots per landmark instead of
     # the dense (M, W) grid — identical LM/Schur math (backend/ba.py
-    # BASparse, parity-tested to 2e-4). Default OFF: its pose-pair
-    # segment_sum lowers to a serial scatter on TPU (measured 11 s/solve at
-    # W>=32 vs the dense grid's einsum), while the dense solver's real cost
-    # was the batched 3x3 LU inverse — fixed in closed form (_inv3x3).
-    # The sparse layout remains the right shape when (M, W) grids outgrow
-    # memory (very wide pose windows) or on CPU hosts.
+    # BASparse, parity-tested to 2e-4). Round 4 re-lowered its pose-indexed
+    # reductions from segment_sum (serial scatter on TPU, 11 s/solve at
+    # W>=32) to one-hot einsums (MXU matmuls); the K-axis terms now cost
+    # O(M K) vs the dense grid's O(M W). Default set per measured device
+    # A/B (scripts/bench_ba_sparse.py).
     # Landmarks tracked longer than obs_cap keep an evenly-spread subset of
     # their observations for that solve (logged).
     sparse_obs: bool = False

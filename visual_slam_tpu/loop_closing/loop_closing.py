@@ -102,6 +102,16 @@ class LoopClosing:
         ratio-test match count are geometrically verified in order (a single
         bad ratio-test winner must not kill detection for the keyframe)."""
         kfs = self.map.get_keyframes()
+        # Evict cache entries for culled/fused keyframes (amortized: only
+        # when the dead fraction is noticeable — long runs otherwise leak
+        # host memory and pay signature-stack cost for dead IDs).
+        if len(self._sig_table) > len(kfs) + 64 or (
+            len(self._feat_cache) > len(kfs) + 64
+        ):
+            live = {k.keyframe_id for k in kfs}
+            for table in (self._sig_table, self._feat_cache):
+                for kf_id in [k for k in table if k not in live]:
+                    del table[kf_id]
         if len(kfs) <= self.min_gap + 1:
             return None
         candidates = [

@@ -611,6 +611,7 @@ class CompiledSLAM:
             np.int32(self._frames_since_kf),
             np.asarray(ref_kf.T_w2c, np.float32),
             self._stack_imgs(imgs),
+            n_valid=n,
         )
         ts_tuple = tuple(t for _, t in buf)
         T_block = outs.T_w2c if n == self._chunk_size else outs.T_w2c[:n]
@@ -674,6 +675,7 @@ class CompiledSLAM:
                     promoted=True,
                     ref_pos=np.asarray(comp.ref_pos)[s],
                     ref_has=np.asarray(comp.ref_has)[s],
+                    ref_tri=np.asarray(comp.ref_tri)[s],
                 )
             else:
                 out_f = jax.tree.map(lambda a: a[f], outs_h)
@@ -755,7 +757,7 @@ class CompiledSLAM:
         # carry); the host never re-seeds them in steady state.
         self._track_state, self._dev_fsr, self._dev_T_ref, outs, recs = self._chunk(
             self._track_state, self._dev_fsr, self._dev_T_ref,
-            self._stack_imgs(imgs),
+            self._stack_imgs(imgs), n_valid=n,
         )
         ts_tuple = tuple(t for _, t in buf)
         T_block = outs.T_w2c if n == self._chunk_size else outs.T_w2c[:n]
@@ -811,6 +813,7 @@ class CompiledSLAM:
                     promoted=True,
                     ref_pos=np.asarray(comp.ref_pos)[s],
                     ref_has=np.asarray(comp.ref_has)[s],
+                    ref_tri=np.asarray(comp.ref_tri)[s],
                 )
             else:
                 out_f = jax.tree.map(lambda a: a[f], outs_h)
@@ -975,20 +978,30 @@ class CompiledSLAM:
                     )
                     self.map.fuse_map_points(keep, drop)
         created = 0
-        new_mask = np.asarray(rec.ref_has) & ~inherited
+        # Mint MapPoints ONLY for slots the device actually triangulated
+        # (rec.ref_tri): an INHERITED slot (guided/reference association)
+        # whose host-side link failed above — arena landmark fused or
+        # culled between chunk dispatch and adoption, host/device ref-mask
+        # drift after a BA cull — must be dropped, not re-created: for a
+        # guided-only association ti[i] is a meaningless train index and
+        # linking it would insert a wrong observation into the previous
+        # keyframe plus a duplicate MapPoint shadowing the live original.
+        new_mask = np.asarray(rec.ref_tri) & ~inherited
+        dropped = int((np.asarray(rec.ref_has) & ~inherited & ~new_mask).sum())
         pos = np.asarray(rec.ref_pos, np.float64)
         desc = np.asarray(feats.desc)
         for i in np.nonzero(new_mask)[0]:
             mp = MapPoint(pos[i], descriptor=desc[i])
             kf.add_map_point(0, int(i), mp)
-            ref.add_map_point(0, int(ti[i]), mp)
+            if m_ok[i]:  # tri slots come from valid matches by construction
+                ref.add_map_point(0, int(ti[i]), mp)
             self.map.add_map_point(mp)
             created += 1
         self.map.add_keyframe(kf)
         self.logger.debug(
             "adopt devpromo KF: %d inherited, %d device-triangulated, "
-            "kf landmarks %d",
-            int(inherited.sum()), created, kf.num_map_points(),
+            "%d stale-inherit dropped, kf landmarks %d",
+            int(inherited.sum()), created, dropped, kf.num_map_points(),
         )
         return kf
 

@@ -52,9 +52,13 @@ def stereo_rectify(
     baseline = float(np.linalg.norm(C2))
     if baseline < 1e-12:
         raise ValueError("stereo_rectify: zero baseline")
+    # Rectified +x rides the baseline TOWARD camera 2, whatever its sign in
+    # left-camera coordinates: with no sign normalization camera 2 always
+    # sits at +baseline on the rectified x-axis, which is exactly what
+    # P2/Q encode. (An earlier e1[0]<0 flip put negative-x rigs' second
+    # camera at (-baseline, 0, 0) while P2/Q still said +baseline —
+    # disparity sign and Q reprojection came out wrong for those rigs.)
     e1 = C2 / baseline
-    if e1[0] < 0:  # keep rectified +x pointing from left to right camera
-        e1 = -e1
     # Split the inter-camera rotation evenly: build the "down" axis from the
     # AVERAGE optical axis of the two cameras (expressed in left coords), so
     # neither image takes the whole rectifying rotation.

@@ -282,11 +282,16 @@ class PromoteRecord(NamedTuple):
     (:func:`make_track_chunk_promote`). ``ref_pos``/``ref_has`` are the
     post-promotion reference landmark block (per current-frame keypoint
     slot) — the host rebuilds the promoted KeyFrame and its new landmarks
-    from these without any extra dispatch."""
+    from these without any extra dispatch. ``ref_tri`` marks the slots the
+    DEVICE triangulated fresh (vs inherited): only these may mint new
+    MapPoints on the host — an inherited slot whose host-side link fails
+    (arena landmark fused/culled meanwhile) must be dropped, not duplicated,
+    and its match train index may be meaningless for guided-only slots."""
 
     promoted: jnp.ndarray  # () bool
     ref_pos: jnp.ndarray  # (K, 3)
     ref_has: jnp.ndarray  # (K,) bool
+    ref_tri: jnp.ndarray  # (K,) bool — device-triangulated subset of ref_has
 
 
 def make_track_chunk_promote(
@@ -362,11 +367,12 @@ def make_track_chunk_promote(
         s2 = s._replace(
             ref_feats=out.features, ref_landmarks=pos, ref_has_landmark=has
         )
-        return s2, pos, has
+        return s2, pos, has, tri_ok
 
     @jax.jit
-    def _chunk(state: TrackState, fsr, T_ref, imgs, sampling):
-        def body(carry, img):
+    def _chunk(state: TrackState, fsr, T_ref, imgs, sampling, n_valid):
+        def body(carry, frame):
+            img, i = frame
             s, fsr, T_ref = carry
             s, out = inner(s, img, sampling)
             fsr = fsr + 1
@@ -380,34 +386,45 @@ def make_track_chunk_promote(
                 | (rot > rot_thresh)
                 | (jnp.linalg.norm(C_cur - C_ref) > kf_min_translation)
             )
-            promote = ok & trigger
-            s, ref_pos, ref_has = jax.lax.cond(
+            # Flush pads the chunk by duplicating the last frame; a padded
+            # frame must never swap the device reference (the host discards
+            # its PromoteRecord, desynchronizing device vs host reference,
+            # and phantom promos can force a full compact-fetch overflow).
+            promote = ok & trigger & (i < n_valid)
+            s, ref_pos, ref_has, ref_tri = jax.lax.cond(
                 promote,
                 promote_block,
                 lambda s, out, T_ref: (
                     s,
                     jnp.zeros_like(s.ref_landmarks),
                     jnp.zeros_like(s.ref_has_landmark),
+                    jnp.zeros_like(s.ref_has_landmark),
                 ),
                 s, out, T_ref,
             )
             fsr = jnp.where(promote, 0, fsr)
             T_ref = jnp.where(promote, out.T_w2c, T_ref)
-            rec = PromoteRecord(promoted=promote, ref_pos=ref_pos, ref_has=ref_has)
+            rec = PromoteRecord(
+                promoted=promote, ref_pos=ref_pos, ref_has=ref_has,
+                ref_tri=ref_tri,
+            )
             return (s, fsr, T_ref), (out, rec)
 
         (s, fsr, T_ref), (outs, recs) = jax.lax.scan(
-            body, (state, fsr, T_ref), imgs
+            body, (state, fsr, T_ref),
+            (imgs, jnp.arange(imgs.shape[0], dtype=jnp.int32)),
         )
         return s, fsr, T_ref, outs, recs
 
-    def chunk(state: TrackState, fsr, T_ref, imgs: jnp.ndarray):
+    def chunk(state: TrackState, fsr, T_ref, imgs: jnp.ndarray, n_valid=None):
+        C = imgs.shape[0]
         return _chunk(
             state,
             jnp.asarray(fsr, jnp.int32),
             jnp.asarray(T_ref, jnp.float32),
             imgs,
             orb_ops.active_sampling(),
+            jnp.asarray(C if n_valid is None else n_valid, jnp.int32),
         )
 
     chunk.jitted = _chunk
@@ -438,6 +455,7 @@ class CompactChunk(NamedTuple):
     guided_valid: jnp.ndarray  # (P, K)
     ref_pos: jnp.ndarray  # (P, K, 3) post-promotion reference landmarks
     ref_has: jnp.ndarray  # (P, K)
+    ref_tri: jnp.ndarray  # (P, K) device-triangulated subset of ref_has
 
 
 def correction_similarity(T_old: "np.ndarray", T_new: "np.ndarray", s: float):
@@ -523,6 +541,7 @@ def make_compact_chunk(P: int):
             guided_valid=g(outs.guided_valid),
             ref_pos=g(recs.ref_pos),
             ref_has=g(recs.ref_has),
+            ref_tri=g(recs.ref_tri),
         )
 
     return compact

@@ -758,6 +758,12 @@ class Tracking:
         ]
         if not kfs:
             return []
+        if len(self._reloc_sig_table) > len(kfs) + 64:
+            # Evict signatures of culled keyframes (host-memory leak on
+            # long runs otherwise).
+            live = {kf.keyframe_id for kf in kfs}
+            for kf_id in [k for k in self._reloc_sig_table if k not in live]:
+                del self._reloc_sig_table[kf_id]
         missing = [
             kf for kf in kfs if kf.keyframe_id not in self._reloc_sig_table
         ]
