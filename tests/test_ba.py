@@ -217,3 +217,41 @@ def test_sparse_handles_empty_slots(rng):
     assert np.isfinite(np.asarray(T)).all()
     assert np.isfinite(np.asarray(X)).all()
     assert float(info["cost"]) <= float(info["cost0"])
+
+
+def test_sparse_obs_auto_selects_by_window(monkeypatch):
+    """sparse_obs="auto": the optimizer packs the sparse landmark-major
+    layout only once the pose bucket reaches sparse_auto_min_window (below
+    it the dense grid's Schur cross term dominates either way and dense
+    avoids the gather/one-hot overhead)."""
+    import pytest
+
+    from visual_slam_tpu.backend.optimizer import LMOptimizer
+    from visual_slam_tpu.camera import PinholeCamera
+    from visual_slam_tpu.config import Config
+
+    K = np.array([[300.0, 0, 160], [0, 300.0, 120], [0, 0, 1]])
+    cfg = Config()
+    cfg.optimization.sparse_obs = "auto"
+    cfg.optimization.sparse_auto_min_window = 32
+    opt = LMOptimizer(cfg, PinholeCamera(320, 240, K))
+
+    class _Stop(Exception):
+        pass
+
+    calls = []
+
+    def fake_pack(*a, **k):
+        calls.append("dense")
+        raise _Stop
+
+    def fake_pack_sparse(*a, **k):
+        calls.append("sparse")
+        raise _Stop
+
+    monkeypatch.setattr(opt, "_pack", fake_pack)
+    monkeypatch.setattr(opt, "_pack_sparse", fake_pack_sparse)
+    for w_bucket in (16, 32):
+        with pytest.raises(_Stop):
+            opt.solve_start([], [], w_bucket)
+    assert calls == ["dense", "sparse"]

@@ -289,7 +289,12 @@ class LMOptimizer(BaseOptimizer):
         )
         focal = float(self.camera.K[0, 0])
         n1 = max(cfg.n_iter // 2, 1)
-        if cfg.sparse_obs:
+        use_sparse = (
+            w_bucket >= cfg.sparse_auto_min_window
+            if cfg.sparse_obs == "auto"
+            else bool(cfg.sparse_obs)
+        )
+        if use_sparse:
             problem, used_points, kf_slot, packed_valid, kp_of, obs_pose = (
                 self._pack_sparse(
                     keyframes, map_points, w_bucket, m_bucket, fixed_flags

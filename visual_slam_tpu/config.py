@@ -189,7 +189,12 @@ class OptimizationConfig:
     # A/B (scripts/bench_ba_sparse.py).
     # Landmarks tracked longer than obs_cap keep an evenly-spread subset of
     # their observations for that solve (logged).
-    sparse_obs: bool = False
+    # False | True | "auto" (sparse once the pose bucket reaches
+    # sparse_auto_min_window — the layout's K-axis savings only beat the
+    # dense grid at wide windows; threshold set by the device A/B,
+    # scripts/bench_ba_sparse.py / benchlogs/q_ba_sparse.log).
+    sparse_obs: bool | str = False
+    sparse_auto_min_window: int = 32
     obs_cap: int = 16
     ba_every_n_keyframes: int = 1  # throttle the BA handler trigger
     # CompiledSLAM: dispatch the keyframe-boundary BA WITHOUT waiting and

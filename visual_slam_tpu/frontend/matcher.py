@@ -78,5 +78,39 @@ class BFMatcherL2(BaseMatcher):
 
 
 class FlannMatcher(BFMatcherL2):
-    """Exact search stands in for FLANN (reference matcher.py:77-103) — see
-    module docstring."""
+    """ANN matcher (reference matcher.py:77-103 is a KD-tree FLANN).
+
+    Below ``ann_threshold`` train rows: exact search (one MXU matmul beats
+    any approximate structure at SLAM block sizes — see module docstring).
+    At or above it: a Hamming IVF index (ops/ann.py — the TPU-shaped
+    analogue of the reference's KD-tree, coarse-quantize + probe instead of
+    pointer-chasing), built once per train block and cached, giving the
+    O(C + P*B) per-query asymptotic escape hatch for huge descriptor
+    databases (e.g. map-wide relocalization tables)."""
+
+    def __init__(self, ratio: float = 0.75, cross_check: bool = True,
+                 ann_threshold: int = 8192, n_probe: int = 8,
+                 n_clusters: int | None = None, **_: object):
+        super().__init__(ratio=ratio, cross_check=cross_check)
+        self.ann_threshold = int(ann_threshold)
+        self.n_probe = int(n_probe)
+        self.n_clusters = n_clusters
+        self._index_key = None
+        self._index = None
+
+    def match(self, f1: Features, f2: Features) -> MatchResult:
+        n = int(f2.desc.shape[0])
+        if n < self.ann_threshold or np.asarray(f2.desc).dtype != np.uint32:
+            return super().match(f1, f2)
+        from ..ops.ann import build_ivf_index, ivf_search
+
+        key = (id(f2.desc), n)
+        if self._index is None or self._index_key != key:
+            C = self.n_clusters or max(64, 1 << int(np.log2(max(n, 2) ** 0.5)))
+            self._index = build_ivf_index(f2.desc, f2.valid, n_clusters=C)
+            self._index_key = key
+        res = ivf_search(
+            self._index, f1.desc, f1.valid,
+            n_probe=self.n_probe, ratio=self.ratio, n_train=n,
+        )
+        return MatchResult(res)
