@@ -351,30 +351,22 @@ def bench_full_pipeline(num_features=2000, n_frames=64, frame_kw=None,
     }
 
 
-# TPU v5e (v5 lite) peak: 197 TFLOP/s bf16 / ~98.5 TFLOP/s fp32-ish via
-# multi-pass. MFU is reported against the bf16 peak — a deliberate
-# UNDER-estimate for the fp32-precision geometry paths (the package forces
-# jax_default_matmul_precision=highest), but a stable, comparable roofline.
-_V5E_PEAK_FLOPS = 197e12
-
-
 def _flops_of(jitted, *args, **kwargs):
-    """XLA-reported FLOPs of one call via the AOT cost model; None if the
-    lowering/cost query fails (not all backends report it)."""
-    try:
-        ca = jitted.lower(*args, **kwargs).compile().cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        f = float(ca.get("flops", 0.0))
-        return f if f > 0 else None
-    except Exception:
-        return None
+    """XLA-cost-model FLOPs (utils/profiling.flops_of; lazy import so the
+    backend initializes first)."""
+    from visual_slam_tpu.utils.profiling import flops_of
+
+    return flops_of(jitted, *args, **kwargs)
 
 
 def _mfu(flops, seconds, platform):
-    if flops is None or seconds <= 0 or platform != "tpu":
+    """MFU vs the v5e bf16 peak (utils/profiling.mfu); None off-TPU."""
+    from visual_slam_tpu.utils.profiling import mfu
+
+    if platform != "tpu":
         return None
-    return round(100.0 * flops / seconds / _V5E_PEAK_FLOPS, 3)
+    m = mfu(flops, seconds)
+    return None if m is None else round(m, 3)
 
 
 def bench_multiseq(imgs_np, K_np, n_seq=4, num_features=2000):
