@@ -333,3 +333,78 @@ def test_compiled_slam_ragged_descriptors():
         # flip vs dense (chaotic on this tiny world) — gate on sane tracking
     finally:
         orb.set_ragged_descriptors(False)  # don't leak into other tests
+
+
+def test_adopt_device_keyframe_drops_stale_inherits():
+    """ADVICE r3 (medium): a device-inherited slot whose HOST-side link
+    fails (arena landmark fused/culled between chunk dispatch and adoption)
+    must be DROPPED, not re-created — for a guided-only association the
+    match train index is meaningless, and the old code linked it into the
+    previous keyframe plus minted a duplicate MapPoint shadowing the live
+    original. Only device-TRIANGULATED slots (rec.ref_tri) may mint."""
+    import jax.numpy as jnp
+
+    from visual_slam_tpu.map import Frame, MapPoint
+    from visual_slam_tpu.map.keyframe import KeyFrame
+    from visual_slam_tpu.models.compiled_slam import PromoteRecord, TrackOutput
+    from visual_slam_tpu.ops.detector import Features
+
+    K = np.array([[300.0, 0, 160], [0, 300.0, 120], [0, 0, 1]])
+    cam = PinholeCamera(width=320, height=240, K=K)
+    slam = CompiledSLAM(cam, small_config())
+
+    nk = 4
+
+    def feats(seed):
+        r = np.random.default_rng(seed)
+        return Features(
+            xy=jnp.asarray(r.uniform(10, 200, (nk, 2)).astype(np.float32)),
+            response=jnp.ones(nk), angle=jnp.zeros(nk),
+            octave=jnp.zeros(nk, jnp.int32), size=jnp.ones(nk),
+            desc=jnp.asarray(r.integers(0, 2**32, (nk, 8), dtype=np.uint32)),
+            valid=jnp.ones(nk, bool),
+        )
+
+    ref_fr = Frame(features=[feats(0)], timestamp=0.0)
+    ref_fr.update_pose(np.eye(4))
+    ref = KeyFrame.from_frame(ref_fr)
+    live = MapPoint(np.array([0.0, 0.0, 5.0]))
+    ref.add_map_point(0, 1, live)  # ti[0] will point HERE (wrong link bait)
+    slam.map.add_keyframe(ref)
+    slam.map.add_map_point(live)
+
+    fused = MapPoint(np.array([1.0, 0.0, 6.0]))
+    fused.set_bad()  # arena landmark died between dispatch and adoption
+    arena = [fused]
+
+    # Slot 0: guided-only inherit of the now-bad arena landmark
+    #   (match_valid FALSE -> ti[0]=1 is meaningless); device says ref_has.
+    # Slot 1: device-triangulated via a valid match (ti[1]=2) -> must mint.
+    out = TrackOutput(
+        T_w2c=np.eye(4, dtype=np.float32),
+        n_inliers=np.int32(nk), n_matches=np.int32(nk),
+        features=feats(1),
+        match_train_idx=np.array([1, 2, 0, 0], np.int32),
+        match_valid=np.array([False, True, False, False]),
+        pnp_inliers=np.array([True, True, False, False]),
+        guided_idx=np.array([0, 0, 0, 0], np.int32),
+        guided_valid=np.array([True, False, False, False]),
+    )
+    rec = PromoteRecord(
+        promoted=True,
+        ref_pos=np.array([[1, 0, 6], [0.5, 0, 7], [0, 0, 0], [0, 0, 0]], np.float64),
+        ref_has=np.array([True, True, False, False]),
+        ref_tri=np.array([False, True, False, False]),
+    )
+    n_points_before = slam.map.num_map_points()
+    kf = slam._adopt_device_keyframe(out, rec, 0.1, ref, arena)
+
+    # Slot 0 dropped: no duplicate minted, no wrong ref observation.
+    assert kf.get_map_point(0, 0) is None
+    assert ref.get_map_point(0, 1) is live
+    assert live.num_observations() == 1
+    # Slot 1 minted + linked into BOTH keyframes at the right indices.
+    mp_new = kf.get_map_point(0, 1)
+    assert mp_new is not None and mp_new is not live
+    assert ref.get_map_point(0, 2) is mp_new
+    assert slam.map.num_map_points() == n_points_before + 1
