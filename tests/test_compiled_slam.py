@@ -408,3 +408,42 @@ def test_adopt_device_keyframe_drops_stale_inherits():
     assert mp_new is not None and mp_new is not live
     assert ref.get_map_point(0, 2) is mp_new
     assert slam.map.num_map_points() == n_points_before + 1
+
+
+def test_compiled_slam_stereo_device_promotion():
+    """Stereo in-chunk device promotion (r4): the self-promoting chunk
+    mints METRIC reference landmarks from its own disparity depths (no
+    two-view parallax wait), so stereo deployments get the same
+    chunk-size-beyond-decay-horizon amortization as mono — and the
+    trajectory stays metric (NO scale alignment in the ATE)."""
+    import sys
+
+    from render import camera_path, make_world, stereo_pair
+
+    rng = np.random.default_rng(11)
+    world = make_world(rng)
+    Ts_gt = camera_path(17, step=0.3, yaw_rate=0.01)
+    f, W, H = 260.0, 320, 240
+    K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1.0]])
+    baseline = 0.5
+    cfg = small_config()
+    cfg.camera.sensor_type = "stereo"
+    cfg.initialization.min_inliers = 30
+    cfg.tracking.chunk_size = 7  # > decay horizon; needs in-chunk promotion
+    cfg.tracking.device_promotion = True
+    cam = PinholeCamera(width=W, height=H, K=K, baseline=baseline)
+    slam = CompiledSLAM(cam, cfg)
+    infos = []
+    for i, T in enumerate(Ts_gt):
+        left, right = stereo_pair(world, T, K, baseline, W, H)
+        infos.append(slam.track([left, right], timestamp=i * 0.1))
+    slam.shutdown()
+    assert slam.state == State.OK, [i["state"] for i in infos]
+    assert slam.map.num_keyframes() >= 3
+    ts, Ts = slam.trajectory()
+    assert slam.num_frames_tracked() == len(ts) >= 14
+    idx = [int(round(t / 0.1)) for t in ts]
+    est = np.stack([-T[:3, :3].T @ T[:3, 3] for T in Ts])
+    gt = np.stack([-Ts_gt[i][:3, :3].T @ Ts_gt[i][:3, 3] for i in idx])
+    res = ate_rmse(est, gt, align_scale=False)  # metric: no scale fit
+    assert res["rmse"] < 0.25, res

@@ -107,8 +107,9 @@ class TrackingConfig:
     # gates every frame and swaps its own reference block (inherit +
     # triangulate) without returning to the host, so chunk_size can exceed
     # the sequence's match-decay horizon; the host rebuilds the promoted
-    # keyframes from the chunk's PromoteRecords at the boundary. Mono only
-    # (stereo boundaries need the host's instant-depth landmark path).
+    # keyframes from the chunk's PromoteRecords at the boundary. Mono
+    # triangulates against the old reference in-program; stereo (r4) mints
+    # metric landmarks from the step's own disparity depths.
     device_promotion: bool = False
     # Asynchronous heavy boundaries (devpromo only): BA dispatches at one
     # chunk boundary and is written back at the NEXT (where its results are

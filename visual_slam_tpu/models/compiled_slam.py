@@ -113,13 +113,13 @@ class CompiledSLAM:
         # per dispatch (pipeline.make_track_chunk). Host decisions move to
         # chunk boundaries; per-dispatch relay latency amortizes 1/C.
         self._chunk_size = max(1, int(tcfg.chunk_size))
-        # In-chunk device-side promotion (mono only): the chunk swaps its
-        # own reference on the keyframe gates, so chunk_size can exceed the
-        # sequence's match-decay horizon (see make_track_chunk_promote).
+        # In-chunk device-side promotion: the chunk swaps its own reference
+        # on the keyframe gates, so chunk_size can exceed the sequence's
+        # match-decay horizon (see make_track_chunk_promote). Stereo chunks
+        # mint reference landmarks from their own disparity depths (r4).
         self._dev_promo = (
             bool(tcfg.device_promotion)
             and self._chunk_size > 1
-            and not self._stereo
         )
         lcfg = self.config.local_mapping
         if self._chunk_size <= 1:
@@ -137,6 +137,7 @@ class CompiledSLAM:
                 max_depth=lcfg.max_depth,
                 min_parallax_deg=lcfg.min_parallax_deg,
                 pnp_threshold_px=tcfg.pnp_threshold_px,
+                stereo=self._stereo,
             )
         else:
             self._chunk = make_track_chunk(self._step)
@@ -993,7 +994,11 @@ class CompiledSLAM:
         for i in np.nonzero(new_mask)[0]:
             mp = MapPoint(pos[i], descriptor=desc[i])
             kf.add_map_point(0, int(i), mp)
-            if m_ok[i]:  # tri slots come from valid matches by construction
+            # Back-link into the previous keyframe only through a VALID
+            # match onto a FREE slot: stereo-minted slots may match a ref
+            # keypoint that already carries a landmark (inherit declined it
+            # for a failed inlier gate) — overwriting would orphan it.
+            if m_ok[i] and ref.get_map_point(0, int(ti[i])) is None:
                 ref.add_map_point(0, int(ti[i]), mp)
             self.map.add_map_point(mp)
             created += 1

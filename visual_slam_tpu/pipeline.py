@@ -306,15 +306,19 @@ def make_track_chunk_promote(
     max_depth: float = 1e6,
     min_parallax_deg: float = 0.5,
     pnp_threshold_px: float = 3.0,
+    stereo: bool = False,
 ):
     """Chunked tracking with IN-CHUNK keyframe promotion: the scan body
     evaluates the keyframe gates (interval / match decay / rotation /
     translation — the same policy models/compiled_slam.py applies at chunk
     boundaries) every frame, ON DEVICE, and on trigger swaps the reference
     block to the current frame — inheriting landmark positions from the
-    guided-arena and reference associations and triangulating fresh ones
-    against the old reference (ops.triangulation.triangulate_gated) — all
-    inside the ONE compiled program.
+    guided-arena and reference associations and triangulating fresh ones:
+    mono against the old reference (ops.triangulation.triangulate_gated,
+    parallax/depth/reproj gated), stereo directly from the step's own
+    disparity depths (``out.kp_z`` — no parallax wait; every depth-valid
+    keypoint can seed a metric landmark) — all inside the ONE compiled
+    program.
 
     This removes the map-starvation ceiling on chunk size: a plain chunk
     (make_track_chunk) holds the reference fixed for chunk_size frames, so
@@ -354,14 +358,31 @@ def make_track_chunk_promote(
         if s.lm_pos is not None:
             pos = jnp.where(g_ok[:, None], s.lm_pos[out.guided_idx], pos)
         has = g_ok | inherit_ref
-        tri_cand = out.match_valid & ~has_ref & ~has
-        pts_tri, tri_good = triangulate_gated(
-            Kinv, T_ref, out.T_w2c,
-            s.ref_feats.xy[ti], out.features.xy,
-            jnp.float32(min_depth), jnp.float32(max_depth),
-            jnp.float32(par_thresh), jnp.float32(reproj_n),
-        )
-        tri_ok = tri_cand & tri_good
+        if stereo:
+            # Stereo mint: backproject the step's own disparity depths
+            # (x_cam = z * Kinv [u, v, 1]; X = R^T (x_cam - t)). No
+            # two-view parallax gate needed — depth is metric per frame.
+            z = out.kp_z
+            tri_cand = (
+                out.features.valid & ~has & out.kp_z_valid
+                & (z > min_depth) & (z < max_depth)
+            )
+            uv1 = jnp.concatenate(
+                [out.features.xy, jnp.ones_like(out.features.xy[:, :1])], -1
+            )
+            x_cam = (uv1 @ Kinv.T) * z[:, None]
+            Rc = out.T_w2c[:3, :3]
+            pts_tri = (x_cam - out.T_w2c[:3, 3]) @ Rc
+            tri_ok = tri_cand
+        else:
+            tri_cand = out.match_valid & ~has_ref & ~has
+            pts_tri, tri_good = triangulate_gated(
+                Kinv, T_ref, out.T_w2c,
+                s.ref_feats.xy[ti], out.features.xy,
+                jnp.float32(min_depth), jnp.float32(max_depth),
+                jnp.float32(par_thresh), jnp.float32(reproj_n),
+            )
+            tri_ok = tri_cand & tri_good
         pos = jnp.where(tri_ok[:, None], pts_tri, pos)
         has = has | tri_ok
         s2 = s._replace(
