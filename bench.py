@@ -457,11 +457,44 @@ def bench_pose_graph(n_nodes=256, n_loops=8, n_iter=10):
     return (time.perf_counter() - t0) * 1e3, cost
 
 
+def _probe_backend_subprocess(timeout_s=300.0):
+    """Touch the backend in a SUBPROCESS with a hard timeout. A wedged
+    relay makes jax.devices() HANG (observed: >20 min, not an error) and a
+    hang inside this process is unrecoverable from Python — probing in a
+    child lets the parent fall back to CPU without ever touching the
+    broken backend."""
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp;"
+             "jax.devices();"
+             "print('probe-ok', jax.devices()[0].platform)"],
+            timeout=timeout_s, capture_output=True,
+        )
+        return r.returncode == 0 and b"probe-ok" in r.stdout
+    except Exception:
+        return False
+
+
 def _init_backend(errors, max_tries=3):
     """jax.devices() with retry/backoff, then CPU fallback: one wedged relay
     must degrade the numbers, not zero out the round (VERDICT r3 weak #1 —
     BENCH_r03 died at backend init with no JSON at all)."""
     import jax
+
+    if not _probe_backend_subprocess():
+        errors.append(
+            "backend probe subprocess failed/hung — CPU FALLBACK numbers"
+        )
+        try:
+            jax.config.update("jax_platforms", "cpu")
+            return jax.devices()[0]
+        except Exception as e:  # noqa: BLE001
+            errors.append(f"cpu-fallback: {str(e)[:160]}")
+            return None
 
     for attempt in range(max_tries):
         try:
