@@ -21,6 +21,10 @@ timeout 1800 python scripts/run_fullpipe_tpu.py 8 f16 devpromo heavy2 pf32 > ben
 timeout 1800 python scripts/run_fullpipe_tpu.py 12 f16 devpromo heavy2 pf32 > benchlogs/q_fullpipe_c12h2.log 2>&1
 timeout 1800 python scripts/run_fullpipe_tpu.py 16 f16 devpromo heavy3 pf32 > benchlogs/q_fullpipe_c16h3.log 2>&1
 
+# 4b. Per-stage breakdown of the full-pipeline loop (the north-star ceiling
+#     evidence if 30 FPS stays out of reach).
+timeout 1800 python scripts/profile_full_pipeline.py > benchlogs/q_fullpipe_stages.log 2>&1
+
 # 5. Place recognition at map scale on the device path.
 timeout 1500 python scripts/bench_place_recognition.py > benchlogs/q_place_recognition.log 2>&1
 
