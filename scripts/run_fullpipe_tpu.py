@@ -12,7 +12,8 @@ import bench
 
 
 def run(chunk=8, dtype="u8", n_frames=64, async_ba=False, heavy_every=1,
-        devpromo=False, pose_floor=None, compact=None):
+        devpromo=False, pose_floor=None, compact=None, n_iter=None,
+        point_floor=None):
     import time
 
     from visual_slam_tpu.camera import PinholeCamera
@@ -48,7 +49,9 @@ def run(chunk=8, dtype="u8", n_frames=64, async_ba=False, heavy_every=1,
         # floors (64, 4096).
         cfg.optimization.window_size = 16
         cfg.optimization.pose_bucket_floor = pose_floor or 64
-        cfg.optimization.point_bucket_floor = 4096
+        cfg.optimization.point_bucket_floor = point_floor or 4096
+    if n_iter is not None:
+        cfg.optimization.n_iter = n_iter
     cfg.initialization.min_inliers = 100
     cam = PinholeCamera(width=frames[0].shape[1], height=frames[0].shape[0],
                         K=np.asarray(K_np, np.float64))
@@ -83,7 +86,7 @@ def run(chunk=8, dtype="u8", n_frames=64, async_ba=False, heavy_every=1,
     res = ate_rmse(est, gt, align_scale=True)
     path_len = float(np.linalg.norm(np.diff(gt, axis=0), axis=1).sum())
     print(
-        f"RESULT chunk={chunk} dtype={dtype} async={async_ba} heavy_every={heavy_every} devpromo={devpromo} pose_floor={pose_floor} compact={compact}: fps={n_timed/dt:.2f} "
+        f"RESULT chunk={chunk} dtype={dtype} async={async_ba} heavy_every={heavy_every} devpromo={devpromo} pose_floor={pose_floor} compact={compact} n_iter={n_iter} point_floor={point_floor}: fps={n_timed/dt:.2f} "
         f"ate_pct={100*res['rmse']/path_len:.3f} kfs={slam.map.num_keyframes()} "
         f"landmarks={slam.map.num_map_points()} state={slam.state.name}",
         flush=True,
@@ -100,6 +103,8 @@ if __name__ == "__main__":
     heavy_every = 1
     pose_floor = None
     compact = None
+    n_iter = None
+    point_floor = None
     for a in sys.argv[3:]:
         if a.startswith("heavy"):
             heavy_every = int(a[5:])
@@ -107,5 +112,10 @@ if __name__ == "__main__":
             pose_floor = int(a[2:])
         if a.startswith("compact"):
             compact = int(a[7:])
+        if a.startswith("niter"):
+            n_iter = int(a[5:])
+        if a.startswith("mf"):
+            point_floor = int(a[2:])
     run(chunk, dtype, async_ba=async_ba, heavy_every=heavy_every,
-        devpromo=devpromo, pose_floor=pose_floor, compact=compact)
+        devpromo=devpromo, pose_floor=pose_floor, compact=compact,
+        n_iter=n_iter, point_floor=point_floor)

@@ -9,6 +9,7 @@ from __future__ import annotations
 from ..config import FeatureConfig
 from .features import (
     BaseFeature2D,
+    DoGSiftFeature2D,
     FastOrbFeature2D,
     GradHistFeature2D,
     ShiTomasiGradHistFeature2D,
@@ -23,7 +24,10 @@ _DETECTORS = {
     "fast_orb_anms": FastOrbFeature2D,  # grid top-k subsumes ANMS balancing
     "fastbrief": FastOrbFeature2D,
     "shi_tomasi_orb": ShiTomasiOrbFeature2D,
-    "sift": SIFTFeature2D,  # host cv2 fallback (reference parity)
+    "sift": DoGSiftFeature2D,  # TPU-native DoG + GradHist (ops/sift.py)
+    "sift_tpu": DoGSiftFeature2D,
+    "dog_gradhist": DoGSiftFeature2D,
+    "sift_cv2": SIFTFeature2D,  # host cv2 fallback (reference parity)
     "gradhist": GradHistFeature2D,  # TPU-native float family
     "fast_gradhist": GradHistFeature2D,
     "shi_tomasi_gradhist": ShiTomasiGradHistFeature2D,

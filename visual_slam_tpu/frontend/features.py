@@ -129,6 +129,44 @@ class ShiTomasiGradHistFeature2D(GradHistFeature2D):
             self.fast_threshold = 0.01
 
 
+class DoGSiftFeature2D(BaseFeature2D):
+    """TPU-native SIFT: DoG scale-space extrema detection + the 128-d
+    GradHist descriptor, one jitted device program (ops/sift.py). The
+    device-first counterpart of the reference's cv2.SIFT family
+    (visual_slam/feature/feature.py:53-83)."""
+
+    def __init__(
+        self,
+        num_features: int = 1000,
+        n_octaves: int = 4,
+        n_scales: int = 3,
+        contrast_threshold: float = 0.04,
+        edge_threshold: float = 10.0,
+        grid: int = 8,
+        **_: object,
+    ):
+        self.num_features = int(num_features)
+        self.n_octaves = int(n_octaves)
+        self.n_scales = int(n_scales)
+        self.contrast_threshold = float(contrast_threshold)
+        self.edge_threshold = float(edge_threshold)
+        self.grid = int(grid)
+
+    def detectAndCompute(self, image: np.ndarray) -> Features:
+        from ..ops.sift import detect_and_describe_sift
+
+        img = jnp.asarray(np.ascontiguousarray(image), jnp.float32)
+        return detect_and_describe_sift(
+            img,
+            num_features=self.num_features,
+            n_octaves=self.n_octaves,
+            n_scales=self.n_scales,
+            contrast_threshold=self.contrast_threshold,
+            edge_threshold=self.edge_threshold,
+            grid=self.grid,
+        )
+
+
 class SIFTFeature2D(BaseFeature2D):
     """Float-descriptor fallback via OpenCV (host-side; reference
     feature.py:53-83). Binary TPU detectors are the first-class path."""
