@@ -101,9 +101,9 @@ def main():
 
     chunk_inner = slam._chunk
 
-    def chunk_timed(*a):
+    def chunk_timed(*a, **k):
         t0 = time.perf_counter()
-        out = chunk_inner(*a)
+        out = chunk_inner(*a, **k)
         TIMER.add("chunk_dispatch", time.perf_counter() - t0)
         return out
 

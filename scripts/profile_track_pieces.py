@@ -72,7 +72,7 @@ def main():
         lambda c: c + 1e-9 * m_ops.match_descriptors(
             feats.desc, d2, feats.valid, v2, feats.angle, a2,
             ratio=0.75, cross_check=True, use_orientation=True,
-        ).train_idx.sum().astype(jnp.float32),
+        )["train_idx"].sum().astype(jnp.float32),
         jnp.zeros(()),
     )
 
