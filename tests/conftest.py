@@ -6,6 +6,14 @@ import os
 # TPU ("axon") platform via sitecustomize, so the env var alone is not enough —
 # override through jax.config as well.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Keep the persistent XLA compilation cache out of the shared default dir:
+# entries written by axon-relay processes carry different target-machine
+# feature flags and trigger AOT-loader warnings (and a SIGILL risk) when
+# loaded from a plain-CPU test process.
+os.environ.setdefault(
+    "VSLAM_COMPCACHE_DIR",
+    os.path.expanduser("~/.cache/visual_slam_tpu_xla_cputests"),
+)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -20,6 +20,10 @@ from ..ops.detector import Features, detect_and_describe
 class BaseFeature2D(abc.ABC):
     """(reference feature/base.py:8-34)"""
 
+    # uint32 words per descriptor row: 8 for binary 256-bit families,
+    # 128 for float families (f32 bitcast — matching.is_binary_desc).
+    desc_words = 8
+
     @abc.abstractmethod
     def detectAndCompute(self, image: np.ndarray) -> Features: ...
 
@@ -87,6 +91,7 @@ class GradHistFeature2D(BaseFeature2D):
     dependency (the reference's float family delegates to cv2.SIFT)."""
 
     score = "fast"
+    desc_words = 128
 
     def __init__(
         self,
@@ -135,6 +140,8 @@ class DoGSiftFeature2D(BaseFeature2D):
     device-first counterpart of the reference's cv2.SIFT family
     (visual_slam/feature/feature.py:53-83)."""
 
+    desc_words = 128
+
     def __init__(
         self,
         num_features: int = 1000,
@@ -170,6 +177,8 @@ class DoGSiftFeature2D(BaseFeature2D):
 class SIFTFeature2D(BaseFeature2D):
     """Float-descriptor fallback via OpenCV (host-side; reference
     feature.py:53-83). Binary TPU detectors are the first-class path."""
+
+    desc_words = 128
 
     def __init__(self, num_features: int = 1000, **_: object):
         import cv2

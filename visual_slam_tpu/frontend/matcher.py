@@ -69,12 +69,14 @@ class BFMatcherL2(BaseMatcher):
         self.cross_check = bool(cross_check)
 
     def match(self, f1: Features, f2: Features) -> MatchResult:
-        d1 = jnp.asarray(np.asarray(f1.desc).view(np.float32))
-        d2 = jnp.asarray(np.asarray(f2.desc).view(np.float32))
-        dist = _l2_distance_matrix(d1, d2, f1.valid, f2.valid)
-        ti, d, ok = m_ops.match_nn(dist, ratio=self.ratio, cross_check=self.cross_check)
-        ok = m_ops.unique_train(ti, d, ok, d2.shape[0])
-        return MatchResult(train_idx=ti, distance=d, valid=ok, n_matches=jnp.sum(ok))
+        # Metric follows the descriptor width (ops.matching.is_binary_desc):
+        # float families take the fused L2 path, binary blocks degrade
+        # gracefully to Hamming (L2 on packed words would be meaningless).
+        res = m_ops.match_descriptors(
+            f1.desc, f2.desc, f1.valid, f2.valid,
+            ratio=self.ratio, cross_check=self.cross_check,
+        )
+        return MatchResult(res)
 
 
 class FlannMatcher(BFMatcherL2):
@@ -100,7 +102,8 @@ class FlannMatcher(BFMatcherL2):
 
     def match(self, f1: Features, f2: Features) -> MatchResult:
         n = int(f2.desc.shape[0])
-        if n < self.ann_threshold or np.asarray(f2.desc).dtype != np.uint32:
+        binary = int(f2.desc.shape[1]) == 8
+        if n < self.ann_threshold or not binary:
             return super().match(f1, f2)
         from ..ops.ann import build_ivf_index, ivf_search
 

@@ -80,6 +80,12 @@ class FeatureTracker:
         self.orientation_keep = int(fp.get("orientation_keep_bins", 3))
         self._key = jax.random.PRNGKey(int(fp.get("seed", 0)))
 
+    @property
+    def desc_words(self) -> int:
+        """uint32 words per descriptor row of the configured family
+        (8 binary / 128 float — see ops.matching.is_binary_desc)."""
+        return int(getattr(self.manager.detector, "desc_words", 8))
+
     def detectAndCompute(self, image: np.ndarray) -> Features:
         return self.manager.detectAndCompute(image)
 

@@ -43,13 +43,32 @@ def _make_codebook(seed: int = 77) -> np.ndarray:
 _CODEBOOK = jnp.asarray(_make_codebook())  # module-level device constant
 
 
+def _make_codebook_float(dim: int = 128, seed: int = 78) -> np.ndarray:
+    """(dim, V) random unit directions: visual words for FLOAT descriptor
+    families (SIFT/GradHist, stored bitcast — see matching.is_binary_desc).
+    Nearest word under L2 on unit-norm descriptors = argmax projection."""
+    rng = np.random.default_rng(seed)
+    w = rng.normal(size=(N_WORDS_VOCAB, dim)).astype(np.float32)
+    w /= np.linalg.norm(w, axis=1, keepdims=True)
+    return w.T
+
+
+_CODEBOOK_F = jnp.asarray(_make_codebook_float())
+
+
 @jax.jit
 def keyframe_signature(desc: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
-    """(K, 8) packed rBRIEF + (K,) mask -> (V,) L2-normalized visual-word
-    histogram."""
-    bits = unpack_bits(desc, dtype=jnp.float32)  # (K, 256)
+    """(K, 8) packed rBRIEF (or (K, 128) bitcast float descriptors) + (K,)
+    mask -> (V,) L2-normalized visual-word histogram. The codebook follows
+    the descriptor width (static, per-shape trace)."""
+    if int(desc.shape[-1]) == 8:
+        bits = unpack_bits(desc, dtype=jnp.float32)  # (K, 256)
+        codebook = _CODEBOOK
+    else:
+        bits = jax.lax.bitcast_convert_type(desc, jnp.float32)  # (K, 128)
+        codebook = _CODEBOOK_F
     proj = jax.lax.dot_general(
-        bits, _CODEBOOK,
+        bits, codebook,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (K, V); argmax = nearest word

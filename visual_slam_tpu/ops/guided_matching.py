@@ -16,7 +16,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .matching import BIG, hamming_distance_matrix
+from .matching import BIG, distance_matrix, is_binary_desc
 from .projection import project_points
 
 
@@ -34,11 +34,18 @@ def guided_match(
     height: float,
     radius_px: float = 15.0,
     ratio: float = 0.8,
-    max_distance: float = 80.0,
+    max_distance: float | None = None,
 ) -> dict:
     """Returns keypoint-aligned association:
     ``pts3d (Kp, 3)``, ``valid (Kp,) bool``, ``lm_idx (Kp,) int32``.
+
+    The distance metric follows the descriptor width (matching.is_binary_desc):
+    Hamming for binary 8-word blocks, L2 for bitcast float families. The
+    default absolute-distance gate is metric-appropriate (80 bits / 0.9 L2
+    on unit-norm descriptors) when ``max_distance`` is None.
     """
+    if max_distance is None:
+        max_distance = 80.0 if is_binary_desc(lm_desc) else 0.9
     uv, z = project_points(K, T_pred, lm_pos)
     visible = (
         lm_valid
@@ -46,7 +53,7 @@ def guided_match(
         & (uv[:, 0] >= 0) & (uv[:, 0] < width)
         & (uv[:, 1] >= 0) & (uv[:, 1] < height)
     )
-    dist = hamming_distance_matrix(lm_desc, kp_desc, visible, kp_valid)  # (M, Kp)
+    dist = distance_matrix(lm_desc, kp_desc, visible, kp_valid)  # (M, Kp)
     # Spatial gate: landmark's predicted pixel vs keypoint position.
     d2 = jnp.sum((uv[:, None, :] - kp_xy[None, :, :]) ** 2, axis=-1)
     dist = jnp.where(d2 <= radius_px * radius_px, dist, BIG)

@@ -66,6 +66,43 @@ def hamming_distance_matrix(
     return d
 
 
+def l2_distance_matrix(
+    desc1: jnp.ndarray,
+    desc2: jnp.ndarray,
+    valid1: jnp.ndarray,
+    valid2: jnp.ndarray,
+) -> jnp.ndarray:
+    """(K1, D) x (K2, D) float descriptors (stored bitcast in the uint32
+    block — the float-family convention) -> (K1, K2) float32 L2 distances.
+    Invalid rows/columns get BIG. One MXU matmul, same as Hamming."""
+    d1 = jax.lax.bitcast_convert_type(desc1, jnp.float32)
+    d2 = jax.lax.bitcast_convert_type(desc2, jnp.float32)
+    n1 = jnp.sum(d1 * d1, axis=-1)
+    n2 = jnp.sum(d2 * d2, axis=-1)
+    dots = jax.lax.dot_general(
+        d1, d2,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    d = jnp.sqrt(jnp.maximum(n1[:, None] + n2[None, :] - 2.0 * dots, 0.0))
+    return jnp.where(valid1[:, None] & valid2[None, :], d, BIG)
+
+
+def is_binary_desc(desc: jnp.ndarray) -> bool:
+    """The descriptor WIDTH is the metric: binary families pack 256 bits
+    into 8 uint32 words; float families bitcast 128 f32 into 128 words.
+    Static (trace-time) — every matcher dispatches on it."""
+    return int(desc.shape[-1]) == 8
+
+
+def distance_matrix(desc1, desc2, valid1, valid2) -> jnp.ndarray:
+    """Metric-dispatching distance matrix (see is_binary_desc)."""
+    if is_binary_desc(desc1):
+        return hamming_distance_matrix(desc1, desc2, valid1, valid2)
+    return l2_distance_matrix(desc1, desc2, valid1, valid2)
+
+
 def match_nn(
     dist: jnp.ndarray,
     ratio: float = 0.75,
@@ -189,7 +226,7 @@ def match_descriptors(
     filter. The fused jitted matcher used by the tracker. On TPU the
     distance+top2+cross-check stage runs in the fused Pallas kernel
     (ops/pallas_kernels.py) — no KxK HBM materialization."""
-    if _use_pallas():
+    if _use_pallas() and is_binary_desc(desc1):
         from .pallas_kernels import match_nn_pallas
 
         ti, d, ok = match_nn_pallas(
@@ -197,7 +234,7 @@ def match_descriptors(
             ratio=ratio, cross_check=cross_check, max_distance=max_distance,
         )
     else:
-        dist = hamming_distance_matrix(desc1, desc2, valid1, valid2)
+        dist = distance_matrix(desc1, desc2, valid1, valid2)
         ti, d, ok = match_nn(dist, ratio=ratio, cross_check=cross_check, max_distance=max_distance)
     ok = unique_train(ti, d, ok, desc2.shape[0])
     if use_orientation and angle1 is not None:
@@ -229,9 +266,10 @@ def match_descriptors_batched(
     dict with train_idx/distance/valid (C, K) and n_matches (C,).
 
     On TPU the whole candidate batch runs in ONE fused Pallas kernel
-    (measured 9.2x over the lax.map XLA path at C=8, K=2048).
+    (measured 9.2x over the lax.map XLA path at C=8, K=2048). Float-family
+    descriptors (width 128, see is_binary_desc) take the lax.map L2 path.
     """
-    if _use_pallas():
+    if _use_pallas() and is_binary_desc(desc_q):
         from .pallas_kernels import hamming_top2_batched
 
         C, K2 = desc_c.shape[:2]

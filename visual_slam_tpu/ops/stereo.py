@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .matching import BIG, hamming_distance_matrix
+from .matching import BIG, distance_matrix
 
 _EPS = 1e-9
 
@@ -50,7 +50,8 @@ def stereo_feature_depths(
     Returns dict(z (K_l,) depth in meters, disparity (K_l,), right_idx
     (K_l,), valid (K_l,)).
     """
-    d = hamming_distance_matrix(desc_l, desc_r, valid_l, valid_r)
+    # Metric follows the descriptor width (Hamming / L2 for float families).
+    d = distance_matrix(desc_l, desc_r, valid_l, valid_r)
     dv = jnp.abs(xy_l[:, 1:2] - xy_r[None, :, 1])  # (K_l, K_r) row gap
     disp = xy_l[:, 0:1] - xy_r[None, :, 0]  # (K_l, K_r)
     gate = (dv <= row_tolerance) & (disp > min_disparity) & (disp < max_disparity)

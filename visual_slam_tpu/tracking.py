@@ -350,7 +350,10 @@ class Tracking:
                     if not mp.is_bad and mp.descriptor is not None:
                         mps[mp.id] = mp
             pos = np.zeros((cap, 3), np.float32)
-            desc = np.zeros((cap, 8), np.uint32)
+            # Descriptor width follows the configured family (8 binary
+            # words, or 128 bitcast floats — matching.is_binary_desc).
+            dw = self.tracker.desc_words
+            desc = np.zeros((cap, dw), np.uint32)
             valid = np.zeros(cap, bool)
             sel = list(mps.values())[:cap]
             for i, mp in enumerate(sel):

@@ -12,6 +12,27 @@ from pathlib import Path
 import numpy as np
 
 
+def _stack_descs(mps) -> np.ndarray:
+    """Landmark descriptor table at the map's native width — 8 uint32 words
+    for binary families, 128 for bitcast float families (zeros row = none).
+    Guided matching and the compiled step's arena need them after resume."""
+    width = 8
+    for mp in mps:
+        if mp.descriptor is not None:
+            width = int(np.asarray(mp.descriptor).reshape(-1).shape[0])
+            break
+    if not mps:
+        return np.zeros((0, width), np.uint32)
+    rows = []
+    for mp in mps:
+        if mp.descriptor is None:
+            rows.append(np.zeros(width, np.uint32))
+        else:
+            d = np.asarray(mp.descriptor, np.uint32).reshape(-1)[:width]
+            rows.append(np.pad(d, (0, width - d.shape[0])))
+    return np.stack(rows)
+
+
 def save_map(slam_map, path: str | Path) -> None:
     """Serialize keyframes (poses, timestamps, feature blocks), landmarks,
     and the observation table into one .npz."""
@@ -36,11 +57,7 @@ def save_map(slam_map, path: str | Path) -> None:
         "mp_colors": np.stack([mp.color for mp in mps]) if mps else np.zeros((0, 3), np.uint8),
         # Landmark descriptors (zeros row = none): guided matching and the
         # compiled step's arena need them after resume.
-        "mp_descs": np.stack(
-            [np.zeros(8, np.uint32) if mp.descriptor is None
-             else np.asarray(mp.descriptor, np.uint32).reshape(-1)[:8]
-             for mp in mps]
-        ) if mps else np.zeros((0, 8), np.uint32),
+        "mp_descs": _stack_descs(mps),
         "observations": np.asarray(obs, np.int64).reshape(-1, 4),
     }
     for r, kf in enumerate(kfs):
