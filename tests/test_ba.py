@@ -255,3 +255,70 @@ def test_sparse_obs_auto_selects_by_window(monkeypatch):
         with pytest.raises(_Stop):
             opt.solve_start([], [], w_bucket)
     assert calls == ["dense", "sparse"]
+
+
+# ---------------------------------------------------------------------------
+# Landmark-MINOR dense solver (backend/ba.py bundle_adjust_lm): the TPU
+# (8, 128)-tiling relowering — same math, landmark axis last.
+# ---------------------------------------------------------------------------
+
+from visual_slam_tpu.backend.ba import (  # noqa: E402
+    bundle_adjust_lm,
+    bundle_adjust_robust_lm,
+)
+
+
+def test_lm_minor_matches_reference_layout(rng):
+    """Identical LM trajectory to the (M, W)-major solver up to f32
+    summation-order noise."""
+    problem, T_gt, pts_gt, f = make_ba_problem(rng, W=5, M=150, n_fixed=2)
+    Td, Xd, infod = bundle_adjust(problem, n_iter=15, huber=5.0 / f)
+    Tl, Xl, infol = bundle_adjust_lm(problem, n_iter=15, huber=5.0 / f)
+    np.testing.assert_allclose(np.asarray(Tl), np.asarray(Td), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(Xl), np.asarray(Xd), atol=2e-3)
+    np.testing.assert_allclose(
+        float(infol["cost"]), float(infod["cost"]), rtol=1e-3
+    )
+
+
+def test_lm_minor_robust_matches_reference_layout(rng):
+    problem, T_gt, pts_gt, f = make_ba_problem(rng, noise_px=0.2, n_fixed=2)
+    uv = np.asarray(problem.uv).copy()
+    n_bad = len(uv) // 10
+    uv[:n_bad, :, :] += rng.uniform(-0.2, 0.2, (n_bad, uv.shape[1], 2))
+    problem = problem._replace(uv=jnp.asarray(uv))
+    Td, Xd, infod = bundle_adjust_robust(
+        problem, n_iter=12, n_iter2=12, huber=3.0 / f
+    )
+    Tl, Xl, infol = bundle_adjust_robust_lm(
+        problem, n_iter=12, n_iter2=12, huber=3.0 / f
+    )
+    assert int(infol["n_trimmed"]) == int(infod["n_trimmed"])
+    np.testing.assert_allclose(
+        np.asarray(Tl)[:, :3, 3], T_gt[:, :3, 3], atol=3e-2
+    )
+
+
+def test_lm_minor_fixed_pose_untouched(rng):
+    problem, T_gt, pts_gt, f = make_ba_problem(rng, n_fixed=2)
+    T0 = np.asarray(problem.T_w2c).copy()
+    Tl, _, _ = bundle_adjust_lm(problem, n_iter=10, huber=5.0 / f)
+    np.testing.assert_array_equal(np.asarray(Tl)[0], T0[0])
+    np.testing.assert_array_equal(np.asarray(Tl)[1], T0[1])
+
+
+def test_lm_minor_auto_backend_gate():
+    """Default off (device A/B showed no win); 'auto' gates on TPU backend."""
+    from visual_slam_tpu.backend.optimizer import LMOptimizer
+    from visual_slam_tpu.camera import PinholeCamera
+    from visual_slam_tpu.config import Config
+
+    K = np.array([[300.0, 0, 160], [0, 300.0, 120], [0, 0, 1]])
+    cfg = Config()
+    assert cfg.optimization.lm_minor is False
+    opt = LMOptimizer(cfg, PinholeCamera(320, 240, K))
+    assert opt._use_lm_minor() is False
+    cfg.optimization.lm_minor = "auto"
+    assert opt._use_lm_minor() is False  # CPU test backend
+    cfg.optimization.lm_minor = True
+    assert opt._use_lm_minor() is True

@@ -315,6 +315,200 @@ def bundle_adjust_robust(
 
 
 # ---------------------------------------------------------------------------
+# Landmark-MINOR dense BA (TPU-layout relowering)
+#
+# The (M, W, 2, 6)-shaped intermediates of the solver above put tiny dims
+# (2, 6), (6, 3), (3, 3) in the two MINOR axes — exactly the axes the TPU
+# pads to (8, 128) native tiles. The honest device bisection
+# (benchlogs/q_ba_pieces3.log) measured the fused solve at ~17 GFLOP/s
+# effective (~100x below VPU speed of light), M-linear, with Cholesky and
+# the cost evaluation both free — i.e. pure layout waste. This variant runs
+# the SAME LM/Schur math with the landmark axis LAST everywhere
+# ((W, 2, M), (W, 6, 3, M), (3, 3, M), ...), so every elementwise panel and
+# every reduction contracts over a well-tiled minor axis.
+# ---------------------------------------------------------------------------
+
+
+def _residuals_and_jacobians_lm(T_w2c, X, uv_lm, w):
+    """Landmark-minor twin of _residuals_and_jacobians.
+
+    X: (3, M) points; uv_lm: (W, 2, M) measurements; w: (W, M) mask.
+    Returns r (W, 2, M), Jp (W, 2, 6, M), Jx (W, 2, 3, M), in_front (W, M).
+    """
+    R = T_w2c[:, :3, :3]  # (W, 3, 3)
+    t = T_w2c[:, :3, 3]  # (W, 3)
+    pc = jnp.einsum("wab,bm->wam", R, X) + t[..., None]  # (W, 3, M)
+    x, y, z = pc[:, 0], pc[:, 1], pc[:, 2]  # (W, M)
+    zs = jnp.where(jnp.abs(z) < _EPS, _EPS, z)
+    inv_z = 1.0 / zs
+    u = x * inv_z
+    v = y * inv_z
+    r = jnp.stack([u, v], axis=1) - uv_lm  # (W, 2, M)
+    zero = jnp.zeros_like(u)
+    Ju = jnp.stack([inv_z, zero, -u * inv_z, -u * v, 1.0 + u * u, -v], axis=1)
+    Jv = jnp.stack([zero, inv_z, -v * inv_z, -(1.0 + v * v), u * v, u], axis=1)
+    Jp = jnp.stack([Ju, Jv], axis=1)  # (W, 2, 6, M)
+    # Jx[w, a, c, m] = A[w, a, b, m] R[w, b, c]; A rows built explicitly.
+    A0 = jnp.stack([inv_z, zero, -u * inv_z], axis=1)  # (W, 3, M)
+    A1 = jnp.stack([zero, inv_z, -v * inv_z], axis=1)
+    A = jnp.stack([A0, A1], axis=1)  # (W, 2, 3, M)
+    Jx = jnp.einsum("wbc,wabm->wacm", R, A)  # (W, 2, 3, M)
+    in_front = z > _EPS
+    return r, Jp, Jx, in_front
+
+
+def _inv3x3_lm(A):
+    """Closed-form cofactor inverse in (3, 3, M) layout (minor axis M)."""
+    a = A[0, 0]; b = A[0, 1]; c = A[0, 2]
+    d = A[1, 0]; e = A[1, 1]; f = A[1, 2]
+    g = A[2, 0]; h = A[2, 1]; i = A[2, 2]
+    c00 = e * i - f * h
+    c01 = c * h - b * i
+    c02 = b * f - c * e
+    c10 = f * g - d * i
+    c11 = a * i - c * g
+    c12 = c * d - a * f
+    c20 = d * h - e * g
+    c21 = b * g - a * h
+    c22 = a * e - b * d
+    det = a * c00 + b * c10 + c * c20
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < _EPS, _EPS, det)
+    adj = jnp.stack(
+        [
+            jnp.stack([c00, c01, c02], axis=0),
+            jnp.stack([c10, c11, c12], axis=0),
+            jnp.stack([c20, c21, c22], axis=0),
+        ],
+        axis=0,
+    )  # (3, 3, M)
+    return adj * inv_det[None, None]
+
+
+def _cost_lm(r, w_obs, in_front, huber):
+    """_cost in (W, 2, M)/(W, M) layout (same cheirality penalty)."""
+    rn2 = jnp.sum(r * r, axis=1)  # (W, M)
+    rn = jnp.sqrt(rn2 + _EPS)
+    quad = 0.5 * rn2
+    lin = huber * (rn - 0.5 * huber)
+    rho = jnp.where(rn <= huber, quad, lin)
+    pen = 20.0 * huber
+    return jnp.sum(jnp.where(in_front, rho, pen) * w_obs)
+
+
+def _solve_step_lm(T_w2c, X, uv_lm, w_obs, pose_free, lam, huber):
+    """One LM linear solve in landmark-minor layout: X (3, M), uv_lm
+    (W, 2, M), w_obs (W, M). Returns (dxi (W, 6), dX (3, M))."""
+    W = uv_lm.shape[0]
+    r, Jp, Jx, in_front = _residuals_and_jacobians_lm(T_w2c, X, uv_lm, w_obs > 0)
+    rn = jnp.sqrt(jnp.sum(r * r, axis=1))  # (W, M)
+    hub = jnp.where(rn <= huber, 1.0, huber / jnp.maximum(rn, _EPS))
+    w = w_obs * hub * in_front  # (W, M)
+    Jp = Jp * pose_free[:, None, None, None]
+
+    Jpw = Jp * w[:, None, None]  # (W, 2, 6, M)
+    U = jnp.einsum("waim,wajm->wij", Jpw, Jp)  # (W, 6, 6)
+    V = jnp.einsum("waim,wm,wajm->ijm", Jx, w, Jx)  # (3, 3, M)
+    Y = jnp.einsum("waim,wajm->wijm", Jpw, Jx)  # (W, 6, 3, M)
+    gp = jnp.einsum("waim,wam->wi", Jpw, r)  # (W, 6)
+    gx = jnp.einsum("waim,wm,wam->im", Jx, w, r)  # (3, M)
+
+    U = U + lam * jnp.eye(6)[None]
+    V = V + lam * jnp.eye(3)[:, :, None]
+    Vinv = _inv3x3_lm(V)  # (3, 3, M)
+
+    T_blk = jnp.einsum("wijm,jkm->wikm", Y, Vinv)  # (W, 6, 3, M)
+    S_cross = jnp.einsum("uikm,vjkm->uivj", T_blk, Y)  # (W, 6, W, 6)
+    b_local = -jnp.einsum("wikm,km->wi", T_blk, gx)  # (W, 6)
+    b = gp + b_local
+    S = jnp.zeros((W, 6, W, 6)).at[jnp.arange(W), :, jnp.arange(W), :].add(U) - S_cross
+
+    free = pose_free
+    S = S * free[:, None, None, None] * free[None, None, :, None]
+    S = S.at[jnp.arange(W), :, jnp.arange(W), :].add(
+        jnp.eye(6)[None] * (1.0 - free)[:, None, None]
+    )
+    b = b * free[:, None]
+
+    Sd = S.reshape(W * 6, W * 6)
+    L = jnp.linalg.cholesky(Sd)
+    dxi = -jax.scipy.linalg.cho_solve((L, True), b.reshape(W * 6)).reshape(W, 6)
+    YtdP = jnp.einsum("wijm,wi->jm", Y, dxi)  # (3, M)
+    dX = -jnp.einsum("ijm,jm->im", Vinv, gx + YtdP)
+    return dxi, dX
+
+
+@partial(jax.jit, static_argnames=("n_iter",))
+def bundle_adjust_lm(
+    problem: BAProblem,
+    n_iter: int = 20,
+    huber: float = 5e-3,
+    lam0: float = 1e-3,
+) -> tuple[jnp.ndarray, jnp.ndarray, dict]:
+    """``bundle_adjust`` with the landmark-minor solver. Identical inputs,
+    outputs, and LM control flow; only the on-device data layout differs
+    (results match to f32 summation-order noise — parity-tested)."""
+    w_obs = problem.obs_valid.astype(jnp.float32).T  # (W, M)
+    uv_lm = jnp.transpose(problem.uv, (1, 2, 0))  # (W, 2, M)
+    pose_free = (problem.pose_valid & ~problem.pose_fixed).astype(jnp.float32)
+
+    def cost_of(T, X):
+        r, _, _, in_front = _residuals_and_jacobians_lm(T, X, uv_lm, w_obs > 0)
+        return _cost_lm(r, w_obs, in_front, huber)
+
+    def body(carry, _):
+        T, X, lam, c = carry
+        dxi, dX = _solve_step_lm(T, X, uv_lm, w_obs, pose_free, lam, huber)
+        T_new, X_new = _apply_step(T, X.T, dxi, dX.T)
+        X_new = X_new.T
+        c_new = cost_of(T_new, X_new)
+        accept = c_new < c
+        T = jnp.where(accept, T_new, T)
+        X = jnp.where(accept, X_new, X)
+        c = jnp.where(accept, c_new, c)
+        lam = jnp.where(accept, lam * 0.5, lam * 4.0)
+        lam = jnp.clip(lam, 1e-9, 1e6)
+        return (T, X, lam, c), c
+
+    X0 = problem.points.T  # (3, M)
+    c0 = cost_of(problem.T_w2c, X0)
+    (T, X, lam, c), cs = jax.lax.scan(
+        body, (problem.T_w2c, X0, jnp.asarray(lam0), c0), None, length=n_iter
+    )
+    info = {"cost0": c0, "cost": c, "costs": cs, "lambda": lam}
+    return T, X.T, info
+
+
+@partial(jax.jit, static_argnames=("n_iter", "n_iter2"))
+def bundle_adjust_robust_lm(
+    problem: BAProblem,
+    n_iter: int = 10,
+    n_iter2: int = 10,
+    huber: float = 5e-3,
+    lam0: float = 1e-3,
+    trim_factor: float = 3.0,
+) -> tuple[jnp.ndarray, jnp.ndarray, dict]:
+    """``bundle_adjust_robust`` on the landmark-minor solver (same two-stage
+    trim; the interim residual pass also runs in the fast layout)."""
+    T, X, info1 = bundle_adjust_lm(problem, n_iter=n_iter, huber=huber, lam0=lam0)
+    uv_lm = jnp.transpose(problem.uv, (1, 2, 0))
+    r, _, _, in_front = _residuals_and_jacobians_lm(
+        T, X.T, uv_lm, problem.obs_valid.T
+    )
+    rn = jnp.sqrt(jnp.sum(r * r, axis=1)).T  # (M, W)
+    rn = jnp.where(problem.obs_valid & in_front.T, rn, jnp.inf)
+    kept = problem.obs_valid & (rn < trim_factor * huber)
+    problem2 = problem._replace(T_w2c=T, points=X, obs_valid=kept)
+    T, X, info2 = bundle_adjust_lm(problem2, n_iter=n_iter2, huber=huber, lam0=lam0)
+    info = {
+        "cost0": info1["cost0"],
+        "cost": info2["cost"],
+        "obs_kept": kept,
+        "n_trimmed": jnp.sum(problem.obs_valid) - jnp.sum(kept),
+    }
+    return T, X, info
+
+
+# ---------------------------------------------------------------------------
 # Sparse landmark-major BA
 #
 # The dense (M, W) grid above is ~97-98 % empty at SLAM map density (a

@@ -28,6 +28,7 @@ from .ba import (
     BAProblem,
     BASparse,
     bundle_adjust_robust,
+    bundle_adjust_robust_lm,
     bundle_adjust_robust_sparse,
 )
 
@@ -268,6 +269,20 @@ class LMOptimizer(BaseOptimizer):
             return X_np, (s, (1.0 - s) * C0)
         return X_np, None
 
+    def _use_lm_minor(self) -> bool:
+        """Resolve config.optimization.lm_minor ('auto' = TPU backends only:
+        the landmark-minor layout exists for the (8, 128) tiling; on CPU it
+        buys nothing and the reference layout keeps fixtures bit-stable)."""
+        mode = getattr(self.config.optimization, "lm_minor", False)
+        if mode == "auto":
+            try:
+                import jax
+
+                return jax.default_backend() == "tpu"
+            except Exception:  # pragma: no cover - backend init failure
+                return False
+        return bool(mode)
+
     def solve_start(
         self, keyframes, map_points, w_bucket, fixed_flags=None,
         renormalize_scale=False,
@@ -313,7 +328,11 @@ class LMOptimizer(BaseOptimizer):
                 keyframes, map_points, w_bucket, m_bucket, fixed_flags
             )
             obs_pose = None
-            T, X, info = bundle_adjust_robust(
+            solve = (
+                bundle_adjust_robust_lm if self._use_lm_minor()
+                else bundle_adjust_robust
+            )
+            T, X, info = solve(
                 problem,
                 n_iter=n1,
                 n_iter2=max(cfg.n_iter - n1, 1),

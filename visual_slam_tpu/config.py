@@ -197,6 +197,16 @@ class OptimizationConfig:
     sparse_obs: bool | str = False
     sparse_auto_min_window: int = 32
     obs_cap: int = 16
+    # Landmark-MINOR dense layout (backend/ba.py bundle_adjust_lm): same
+    # LM/Schur math with the landmark axis last, so intermediates tile the
+    # TPU's native (8, 128) lanes instead of padding (2, 6)-shaped trailing
+    # dims. Device A/B (scripts/bench_ba_lm.py / benchlogs/q_ba_lm.log,
+    # v5e): 1.00-1.02x at every W/M shape — XLA already lays out the
+    # (M, W, 2, 6)-major intermediates well, and the solve is per-op
+    # dispatch-floor-bound, not layout-bound (benchlogs/q_ba_pieces2.log:
+    # every piece ~0.4 ms/iter regardless of shape). Kept as a documented
+    # negative result + opt-in ("auto" = TPU backends only).
+    lm_minor: bool | str = False
     ba_every_n_keyframes: int = 1  # throttle the BA handler trigger
     # CompiledSLAM: dispatch the keyframe-boundary BA WITHOUT waiting and
     # apply its writeback at the next boundary (overlaps the solve with the
