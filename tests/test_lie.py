@@ -106,3 +106,52 @@ def test_se3_inverse_matches_numpy():
     # single (unbatched) transform too
     inv1 = np.asarray(se3_inverse(jnp.asarray(Ts[0])))
     np.testing.assert_allclose(inv1, np.linalg.inv(Ts[0]), atol=2e-6)
+
+
+def test_det3x3_and_inv3x3_match_numpy():
+    import numpy as np
+    import jax.numpy as jnp
+
+    from visual_slam_tpu.ops.lie import det3x3, inv3x3
+
+    rng = np.random.default_rng(7)
+    A = rng.normal(0, 2, (32, 3, 3)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(det3x3(jnp.asarray(A))), np.linalg.det(A), rtol=2e-4,
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(inv3x3(jnp.asarray(A))), np.linalg.inv(A), rtol=3e-3,
+        atol=2e-4,
+    )
+    # Unbatched too.
+    np.testing.assert_allclose(
+        float(det3x3(jnp.asarray(A[0]))), float(np.linalg.det(A[0])),
+        rtol=2e-4,
+    )
+
+
+def test_project_to_so3_newton_matches_svd(rng):
+    """The elementwise polar iteration agrees with the SVD projection on
+    noisy near-rotations (the DLT-fit regime it replaces it in)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from scipy.spatial.transform import Rotation
+
+    from visual_slam_tpu.ops.lie import project_to_so3, project_to_so3_newton
+
+    Ms = []
+    for i in range(24):
+        R = Rotation.from_rotvec(rng.normal(0, 1, 3)).as_matrix()
+        scale = rng.uniform(0.3, 3.0)
+        noise = rng.normal(0, 0.05 * (i % 4), (3, 3))
+        Ms.append(scale * R + noise)
+    M = jnp.asarray(np.stack(Ms).astype(np.float32))
+    R_svd = np.asarray(jax.vmap(project_to_so3)(M))
+    R_new = np.asarray(project_to_so3_newton(M))
+    np.testing.assert_allclose(R_new, R_svd, atol=5e-5)
+    # Proper rotations: R^T R = I, det = +1.
+    eye = np.einsum("nij,nik->njk", R_new, R_new)
+    np.testing.assert_allclose(eye, np.tile(np.eye(3), (24, 1, 1)), atol=5e-5)
+    assert np.all(np.linalg.det(R_new) > 0.99)

@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .matching import BIG, hamming_distance_matrix, unique_train
+from .matching import BIG, hamming_distance_matrix, min2, unique_train
 
 
 class IVFIndex(NamedTuple):
@@ -154,9 +154,7 @@ def ivf_search(
     d = d.reshape(Q, -1)  # (Q, P*B)
     ids = cand_ids.reshape(Q, -1)
 
-    neg2, idx2 = jax.lax.top_k(-d, 2)
-    best, second = -neg2[:, 0], -neg2[:, 1]
-    ti_flat = idx2[:, 0]
+    best, second, ti_flat = min2(d)  # top_k = TPU sort network (q_top2.log)
     ti = jnp.take_along_axis(ids, ti_flat[:, None], axis=1)[:, 0]
     ok = (best < BIG * 0.5) & qvalid
     if ratio > 0:

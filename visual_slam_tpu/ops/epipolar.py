@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from .lie import make_T
+from .linalg import nullspace_vector
 from .triangulation import triangulate_dlt, projection_from_T
 
 _EPS = 1e-9
@@ -60,8 +61,10 @@ def eight_point(
     ones = jnp.ones_like(u1)
     A = jnp.stack([u2 * u1, u2 * v1, u2, v2 * u1, v2 * v1, v2, u1, v1, ones], axis=-1)
     AtA = (A * w[:, None]).T @ A  # (9, 9)
-    _, vecs = jnp.linalg.eigh(AtA)
-    f = vecs[:, 0]
+    # ops/linalg.nullspace_vector: eigh on CPU; direct inverse iteration
+    # on TPU (batched eigh is data-dependently slow under the RANSAC vmap
+    # on outlier-mixing samples - ops/linalg.py, q_fit_pieces*.log).
+    f = nullspace_vector(AtA)
     Fn = f.reshape(3, 3)
     # Denormalize first: the similarity transforms do not preserve singular
     # values, so the manifold projection must happen in the original frame.

@@ -16,7 +16,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .matching import BIG, distance_matrix, is_binary_desc
+from .matching import BIG, distance_matrix, is_binary_desc, min2
 from .projection import project_points
 
 
@@ -60,21 +60,29 @@ def guided_match(
 
     # Best + second keypoint per landmark (ratio test), then invert to a
     # keypoint-aligned table keeping the lowest-distance landmark per kp.
-    neg2, idx2 = jax.lax.top_k(-dist, 2)
-    best = -neg2[:, 0]
-    second = -neg2[:, 1]
-    kp_of_lm = idx2[:, 0]
+    # (min2, not lax.top_k: the sort-network lowering costs ~4x the three
+    # fused reduction passes — benchlogs/q_top2.log.)
+    best, second, kp_of_lm = min2(dist)
     ok_lm = (best < BIG * 0.5) & (best <= max_distance)
     ok_lm &= best < ratio * second
 
     Kp = kp_xy.shape[0]
     d_masked = jnp.where(ok_lm, best, BIG)
-    best_per_kp = jnp.full((Kp,), BIG).at[kp_of_lm].min(d_masked)
+    # Keypoint-aligned inversion as dense one-hot masked mins: an
+    # .at[kp_of_lm].min scatter over M=4096 slots serializes on TPU (the
+    # segment_sum lesson); the (M, Kp) masked reduce is fused VPU work on
+    # an array the size of the distance matrix already in flight.
+    # Bit-exact with the scatter (min has no rounding).
+    onehot = kp_of_lm[:, None] == jnp.arange(Kp)[None, :]  # (M, Kp)
+    best_per_kp = jnp.min(jnp.where(onehot, d_masked[:, None], BIG), axis=0)
     M = lm_pos.shape[0]
     mi = jnp.arange(M)
     winner = ok_lm & (d_masked <= best_per_kp[kp_of_lm] + 1e-6)
     # Deterministic tie-break by landmark index.
-    best_lm_per_kp = jnp.full((Kp,), 1 << 30).at[kp_of_lm].min(jnp.where(winner, mi, 1 << 30))
+    lm_val = jnp.where(winner, mi, 1 << 30)
+    best_lm_per_kp = jnp.min(
+        jnp.where(onehot, lm_val[:, None], 1 << 30), axis=0
+    )
     lm_idx = jnp.where(best_lm_per_kp < (1 << 30), best_lm_per_kp, 0).astype(jnp.int32)
     valid = best_lm_per_kp < (1 << 30)
     pts3d = lm_pos[lm_idx]

@@ -12,6 +12,7 @@ Conventions (matching the reference):
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 _EPS = 1e-8
@@ -204,6 +205,72 @@ def project_to_so3(M: jnp.ndarray) -> jnp.ndarray:
         [jnp.ones_like(d)[..., None], jnp.ones_like(d)[..., None], d[..., None]], axis=-1
     )
     return (U * D[..., None, :]) @ Vt
+
+
+def det3x3(M: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form 3x3 determinant over (..., 3, 3).
+
+    ``jnp.linalg.det`` lowers to batched LU on TPU — ~0.5 ms for a (128,
+    3, 3) batch (benchlogs/q_dlt_lowering.log) vs microseconds for this
+    elementwise cofactor expansion. Use this in any batched hot path."""
+    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    return a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+
+
+def inv3x3(A: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form cofactor inverse over (..., 3, 3) (elementwise; no LU —
+    the same relowering backend/ba.py uses for the Schur point blocks)."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    c00 = e * i - f * h
+    c01 = c * h - b * i
+    c02 = b * f - c * e
+    c10 = f * g - d * i
+    c11 = a * i - c * g
+    c12 = c * d - a * f
+    c20 = d * h - e * g
+    c21 = b * g - a * h
+    c22 = a * e - b * d
+    det = a * c00 + b * c10 + c * c20
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    adj = jnp.stack(
+        [
+            jnp.stack([c00, c01, c02], axis=-1),
+            jnp.stack([c10, c11, c12], axis=-1),
+            jnp.stack([c20, c21, c22], axis=-1),
+        ],
+        axis=-2,
+    )
+    return adj * inv_det[..., None, None]
+
+
+def project_to_so3_newton(M: jnp.ndarray, iters: int = 5) -> jnp.ndarray:
+    """Nearest rotation to M (det(M) > 0) by Higham-scaled Newton polar
+    iteration: X <- (g X + (X^-1)^T / g) / 2 with g = |det X|^(-1/3).
+
+    Pure elementwise math (closed-form 3x3 inverse + determinant) — the
+    TPU-correct lowering of the batched projection: the SVD version costs
+    ~0.9 ms for a (128, 3, 3) batch where this costs microseconds
+    (benchlogs/q_dlt_lowering.log; agrees with SVD to ~5e-7). Quadratic
+    convergence once the singular values near 1; 5 iterations cover the
+    noisy-DLT inputs RANSAC feeds it. det(M) <= 0 inputs (a reflection fit
+    — a degenerate minimal sample) converge to an improper factor and
+    simply lose the RANSAC argmax; callers needing the exact nearest
+    rotation for such inputs must use the SVD ``project_to_so3``."""
+    X = M
+
+    def body(X, _):
+        Xit = jnp.swapaxes(inv3x3(X), -1, -2)
+        d = jnp.abs(det3x3(X)) + 1e-12
+        g = d ** (-1.0 / 3.0)
+        X = 0.5 * (g[..., None, None] * X + Xit / g[..., None, None])
+        return X, None
+
+    X, _ = jax.lax.scan(body, X, None, length=iters)
+    return X
 
 
 # Euler conversions (reference yaw/pitch/roll matrices, utils/geometry.py:107-154).

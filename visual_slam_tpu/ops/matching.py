@@ -103,6 +103,21 @@ def distance_matrix(desc1, desc2, valid1, valid2) -> jnp.ndarray:
     return l2_distance_matrix(desc1, desc2, valid1, valid2)
 
 
+def min2(dist: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(best, second, argmin) along the last axis — ``lax.top_k(-d, 2)``
+    relowered as argmin + one masked re-min. top_k builds a sort network
+    on TPU (1.9 ms on a (2048, 2048) distance matrix); this is three fused
+    VPU reduction passes (0.48 ms), bit-identical including first-index
+    tie-breaks (benchlogs/q_top2.log)."""
+    ti = jnp.argmin(dist, axis=-1)
+    best = jnp.take_along_axis(dist, ti[..., None], axis=-1)[..., 0]
+    cols = jnp.arange(dist.shape[-1])
+    second = jnp.min(
+        jnp.where(cols == ti[..., None], jnp.inf, dist), axis=-1
+    )
+    return best, second, ti
+
+
 def match_nn(
     dist: jnp.ndarray,
     ratio: float = 0.75,
@@ -117,11 +132,8 @@ def match_nn(
 
     Returns (train_idx (K1,), distance (K1,), valid (K1,)).
     """
-    # Top-2 per query row.
-    neg2, idx2 = jax.lax.top_k(-dist, 2)
-    best = -neg2[:, 0]
-    second = -neg2[:, 1]
-    ti = idx2[:, 0]
+    # Top-2 per query row (min2: top_k is a TPU sort network).
+    best, second, ti = min2(dist)
     ok = best < BIG * 0.5
     if ratio > 0:
         ok &= best < ratio * second
@@ -135,14 +147,20 @@ def match_nn(
 
 def unique_train(ti: jnp.ndarray, dist: jnp.ndarray, ok: jnp.ndarray, n_train: int) -> jnp.ndarray:
     """Keep only the lowest-distance match per train index (reference
-    filter_matches_unique, matching.py:308-334). Returns updated ``ok``."""
-    # Scatter-min of distances onto train slots.
+    filter_matches_unique, matching.py:308-334). Returns updated ``ok``.
+
+    Lowered as dense one-hot masked mins, not ``.at[ti].min`` scatters — a
+    scatter over 2000 slots serializes on TPU (the segment_sum lesson);
+    the (K, n_train) masked reduce is a handful of fused VPU passes.
+    Bit-exact with the scatter (min has no rounding)."""
     d = jnp.where(ok, dist, BIG)
-    best_per_train = jnp.full((n_train,), BIG).at[ti].min(d)
+    onehot = ti[:, None] == jnp.arange(n_train)[None, :]  # (K, n_train)
+    best_per_train = jnp.min(jnp.where(onehot, d[:, None], BIG), axis=0)
     winner = d <= best_per_train[ti] + 1e-6
     # Tie-break duplicates deterministically by query index.
     qi = jnp.arange(ti.shape[0])
-    best_qi = jnp.full((n_train,), 1 << 30).at[ti].min(jnp.where(winner & ok, qi, 1 << 30))
+    q_val = jnp.where(winner & ok, qi, 1 << 30)
+    best_qi = jnp.min(jnp.where(onehot, q_val[:, None], 1 << 30), axis=0)
     return ok & winner & (best_qi[ti] == qi)
 
 
@@ -161,7 +179,12 @@ def orientation_filter(
     two_pi = 2.0 * jnp.pi
     da = jnp.mod(da, two_pi)  # [0, 2pi)
     bins = jnp.clip((da / two_pi * n_bins).astype(jnp.int32), 0, n_bins - 1)
-    hist = jnp.zeros((n_bins,), jnp.int32).at[bins].add(ok.astype(jnp.int32))
+    # One-hot histogram (a .at[bins].add over 2000 matches is a serial TPU
+    # scatter; the (K, n_bins) sum is one fused pass — integer-exact).
+    onehot = bins[:, None] == jnp.arange(n_bins)[None, :]
+    hist = jnp.sum(
+        jnp.where(ok[:, None] & onehot, 1, 0).astype(jnp.int32), axis=0
+    )
     order = jnp.argsort(-hist)
     keep = jnp.zeros((n_bins,), bool).at[order[:keep_bins]].set(True)
     return ok & keep[bins]

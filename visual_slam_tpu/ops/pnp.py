@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from .lie import make_T, project_to_so3, so3_exp
+from .linalg import nullspace_vector
 
 _EPS = 1e-9
 
@@ -43,8 +44,13 @@ def pnp_dlt(
     A = jnp.concatenate([r1, r2], axis=0)  # (2N, 12)
     ww = jnp.concatenate([w, w], axis=0)
     AtA = (A * ww[:, None]).T @ A
-    _, vecs = jnp.linalg.eigh(AtA)
-    p = vecs[:, 0]
+    # Nullspace via ops/linalg.nullspace_vector: eigh on CPU, equilibrated
+    # Cholesky inverse iteration on TPU, where batched eigh on the
+    # outlier-mixing (geometrically inconsistent) samples RANSAC mostly
+    # draws is data-dependently slow — 2.4 ms at H=128, the entire fit
+    # cost (benchlogs/q_fit_pieces*.log, q_pnp_pieces_v2.log: 3.0 -> 1.1
+    # ms full solve).
+    p = nullspace_vector(AtA)
     P = p.reshape(3, 4)
     M = P[:, :3]
     # Scale: ||lambda R|| rows have norm |lambda|; use the geometric mean of

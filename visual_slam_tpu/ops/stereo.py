@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .matching import BIG, distance_matrix
+from .matching import BIG, distance_matrix, min2
 
 _EPS = 1e-9
 
@@ -57,10 +57,7 @@ def stereo_feature_depths(
     gate = (dv <= row_tolerance) & (disp > min_disparity) & (disp < max_disparity)
     d = jnp.where(gate, d, BIG)
 
-    neg2, idx2 = jax.lax.top_k(-d, 2)
-    best = -neg2[:, 0]
-    second = -neg2[:, 1]
-    ri = idx2[:, 0]
+    best, second, ri = min2(d)  # top_k is a TPU sort network (q_top2.log)
     ok = best < BIG * 0.5
     if ratio > 0:
         ok &= best < ratio * second

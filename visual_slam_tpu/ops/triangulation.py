@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from .lie import inv_T
+from .linalg import nullspace_vector
 
 _EPS = 1e-9
 
@@ -97,8 +98,10 @@ def triangulate_dlt(
     a3 = x2[..., 1:2] * P2[2] - P2[1]
     A = jnp.stack([a0, a1, a2, a3], axis=-2)  # (N, 4, 4)
     AtA = jnp.swapaxes(A, -1, -2) @ A
-    _, vecs = jnp.linalg.eigh(AtA)
-    Xh = vecs[..., :, 0]  # smallest eigenvalue's eigenvector
+    # ops/linalg.nullspace_vector: eigh on CPU; direct inverse iteration
+    # on TPU, where batched eigh runtime is data-dependent (iterative) and
+    # triangulation runs INSIDE the fused track chunk at every promotion.
+    Xh = nullspace_vector(AtA)  # smallest eigenvalue's eigenvector
     w = Xh[..., 3]
     w_ok = jnp.abs(w) > _EPS
     ws = jnp.where(w_ok, w, 1.0)
