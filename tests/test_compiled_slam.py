@@ -282,6 +282,10 @@ def test_compiled_slam_async_boundary():
     cfg.tracking.chunk_size = 7
     cfg.tracking.device_promotion = True
     cfg.tracking.async_boundary = True
+    # The maturity gate would keep this short fixture all-sync; lower it so
+    # the async machinery (device-chained fsr/T_ref, deferred solve,
+    # similarity correction) actually runs here.
+    cfg.tracking.async_boundary_min_kfs = 3
     slam = CompiledSLAM(cam, cfg)
     infos = [slam.track([img], timestamp=i * 0.1) for i, img in enumerate(frames)]
     slam.shutdown()  # flushes the partial chunk + the in-flight solve
@@ -447,3 +451,41 @@ def test_compiled_slam_stereo_device_promotion():
     gt = np.stack([-Ts_gt[i][:3, :3].T @ Ts_gt[i][:3, 3] for i in idx])
     res = ate_rmse(est, gt, align_scale=False)  # metric: no scale fit
     assert res["rmse"] < 0.25, res
+
+
+def test_async_boundary_maturity_and_cooloff_gating():
+    """_use_async_boundary: sync while the map is young (the r4 asyncb
+    collapse mode — q_ab_asyncb.log), async once mature, and sync again
+    for `async_boundary_cooloff` boundaries after thin tracking."""
+    rng = np.random.default_rng(0)
+    frames, Ts_gt, K, world = render_sequence(rng, n_frames=3, step=0.3)
+    cam = PinholeCamera(width=frames[0].shape[1], height=frames[0].shape[0], K=K)
+    cfg = small_config()
+    cfg.tracking.chunk_size = 4  # devpromo (and so async) needs chunks
+    cfg.tracking.device_promotion = True
+    cfg.tracking.async_boundary = True
+    cfg.tracking.async_boundary_min_kfs = 5
+    cfg.tracking.async_boundary_cooloff = 2
+    slam = CompiledSLAM(cam, cfg)
+
+    class _FakeMap:
+        def __init__(self, n):
+            self.n = n
+
+        def num_keyframes(self):
+            return self.n
+
+    real_map = slam.map
+    try:
+        slam.map = _FakeMap(3)
+        assert slam._use_async_boundary() is False  # young map
+        slam.map = _FakeMap(8)
+        assert slam._use_async_boundary() is True  # mature
+        slam._async_cooloff = 2  # thin-tracking chunk fired the cooloff
+        assert slam._use_async_boundary() is False
+        assert slam._use_async_boundary() is False
+        assert slam._use_async_boundary() is True  # cooloff consumed
+        slam._async_mode = False
+        assert slam._use_async_boundary() is False  # master switch off
+    finally:
+        slam.map = real_map

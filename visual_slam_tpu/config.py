@@ -120,6 +120,18 @@ class TrackingConfig:
     # self-promoted reference features are never overwritten. fsr/T_ref
     # chain device-side between chunks instead of host re-seeding.
     async_boundary: bool = False
+    # Async boundaries only once the map is MATURE: while the keyframe
+    # count is below this, boundaries run synchronously (exact post-BA
+    # reference re-install). The young map moves far more than a gauge
+    # similarity per solve — the r4 asyncb arm collapsed (31 -> 3 inliers,
+    # LOST) at the FIRST async correction on a ~10-KF map
+    # (benchlogs/q_ab_asyncb.log); a mature map's BA deltas beyond the
+    # similarity are small.
+    async_boundary_min_kfs: int = 12
+    # After a thin-tracking chunk (min inliers < 2x min_inliers) in async
+    # mode, run this many boundaries synchronously before going async
+    # again (exact reference recovery instead of approximate correction).
+    async_boundary_cooloff: int = 2
     # Chunked-mode boundary split: every promotion creates the keyframe,
     # inherits landmarks and refreshes the reference/arena (cheap, no device
     # sync), but triangulation + BA (two ~40 ms syncs each on the relay)

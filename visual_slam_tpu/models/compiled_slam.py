@@ -158,6 +158,8 @@ class CompiledSLAM:
         # device-side so no host re-seed sits between chunks.
         self._async_mode = bool(getattr(tcfg, "async_boundary", False)) and self._dev_promo
         self._async_bnd: Optional[dict] = None
+        self._async_cooloff = 0  # sync boundaries left after thin tracking
+        self._prev_chunk_async = False
         self._dev_fsr = None
         self._dev_T_ref = None
         # Previous frame's step output, deferred for the host decision:
@@ -488,8 +490,23 @@ class CompiledSLAM:
         while len(imgs) < self._chunk_size:  # flush pads; padded outs ignored
             imgs.append(imgs[-1])
         if self._dev_promo:
-            if self._async_mode:
+            if self._use_async_boundary():
+                if not self._prev_chunk_async:
+                    # sync -> async transition: the sync path host-seeds
+                    # fsr/T_ref every chunk and DISCARDS the device chain;
+                    # re-seed it from the host's (authoritative) values.
+                    self._dev_fsr = jnp.int32(self._frames_since_kf)
+                    self._dev_T_ref = jnp.asarray(
+                        self._ref_kf.T_w2c, jnp.float32
+                    )
+                self._prev_chunk_async = True
                 return self._run_chunk_devpromo_async(imgs, buf, n)
+            self._prev_chunk_async = False
+            # async -> sync fallback: land any in-flight solve (writeback +
+            # device correction) BEFORE this chunk dispatches, so the sync
+            # chunk runs in the post-solve world.
+            if self._async_bnd is not None:
+                self._finish_async_solve(correct_device=True)
             return self._run_chunk_devpromo(imgs, buf, n)
         ref_kf, arena = self._ref_kf, self._lm_arena
         T_ref_snap = ref_kf.T_w2c.copy()
@@ -593,6 +610,20 @@ class CompiledSLAM:
                 "compiled tracking lost (chunk, %d inliers)", int(n_inl_all[last])
             )
         return info
+
+    def _use_async_boundary(self) -> bool:
+        """Async boundaries only on a MATURE map and outside the thin-
+        tracking cooloff (config.tracking.async_boundary_min_kfs /
+        async_boundary_cooloff — see config.py for the failure mode)."""
+        if not self._async_mode:
+            return False
+        tcfg = self.config.tracking
+        if self.map.num_keyframes() < getattr(tcfg, "async_boundary_min_kfs", 12):
+            return False
+        if self._async_cooloff > 0:
+            self._async_cooloff -= 1
+            return False
+        return True
 
     def _run_chunk_devpromo(self, imgs, buf, n: int) -> dict:
         """Chunk boundary for the device-self-promoting chunk
@@ -788,6 +819,14 @@ class CompiledSLAM:
             "n_inliers": int(n_inl_all[last]),
             "chunk_frames": n,
         }
+        if int(n_inl_all.min()) < 2 * tcfg.min_inliers:
+            # Tracking thinned inside this chunk: the similarity-only
+            # correction is too coarse near the edge — take the next
+            # boundaries synchronously (exact post-BA reference install).
+            self._async_cooloff = max(
+                self._async_cooloff,
+                getattr(tcfg, "async_boundary_cooloff", 2),
+            )
         # Land the previous boundary's solve: host-map writeback + loop
         # closing, then the device-carry correction. This chunk's fetched
         # world-frame data is re-anchored with the same similarity before
