@@ -60,8 +60,11 @@ def main():
     import jax.numpy as jnp
 
     print("device:", jax.devices()[0].device_kind, flush=True)
+    # n_frames shapes the sprite-world span (synth_kitti_frames: span =
+    # step*n_frames+20) — a 24-frame world is a DIFFERENT, init-hostile
+    # world. Use the exact bench world.
     frames, K_np, _ = bench.synth_kitti_frames(
-        n_frames=24, seed=3, step=0.6, n_sprites=1500
+        n_frames=64, seed=3, step=0.6, n_sprites=1500
     )
     for arm in ("full", "no_promo", "no_guided", "pnp64"):
         slam = build(arm, frames, K_np)
