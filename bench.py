@@ -255,7 +255,7 @@ def bench_stereo_step(K_np, num_features=2000, baseline=0.54):
 
 
 def bench_full_pipeline(num_features=2000, n_frames=64, frame_kw=None,
-                        chunk_size=8):
+                        chunk_size=8, ba_n_iter=None, point_floor=None):
     """CompiledSLAM end to end on a KITTI-sized synthetic sequence: FPS with
     all host decision/keyframe/BA work included, plus mono-aligned ATE.
 
@@ -287,18 +287,22 @@ def bench_full_pipeline(num_features=2000, n_frames=64, frame_kw=None,
     cfg.feature.num_features = num_features
     cfg.tracking.keyframe_interval = 4
     cfg.tracking.chunk_size = chunk_size
-    # Measured-best deployment shape (scripts/run_fullpipe_tpu.py ladder):
-    # device-side in-chunk keyframe promotion, heavy (BA) boundary every
-    # 2nd promotion, f16 frame upload, ONE BA bucket for the whole run
-    # (window 16, pose floor 32, point floor 4096 — each extra bucket is a
-    # 7-13 s compile inside the timed window).
+    # Measured-best deployment shape (scripts/run_fullpipe_tpu.py ladder +
+    # benchlogs/q_bench_ab_mf2048.log): device-side in-chunk keyframe
+    # promotion, heavy (BA) boundary every 2nd promotion, f16 frame upload,
+    # ONE BA bucket for the whole run (window 16, pose floor 32, point
+    # floor 2048 — each extra bucket is a 7-13 s compile inside the timed
+    # window, and the dense BA solve has a shape cliff above M=2048:
+    # mf4096 24.28 fps -> mf2048 28.15 fps @ 0.794%% ATE on device).
     cfg.tracking.device_promotion = True
     cfg.tracking.heavy_boundary_every = 2
     cfg.tracking.upload_f16 = True
     cfg.optimization.max_points = 4096
     cfg.optimization.window_size = 16
     cfg.optimization.pose_bucket_floor = 32
-    cfg.optimization.point_bucket_floor = 4096
+    cfg.optimization.point_bucket_floor = point_floor or 2048
+    if ba_n_iter is not None:
+        cfg.optimization.n_iter = ba_n_iter
     cfg.initialization.min_inliers = min(100, max(30, num_features // 20))
     cam = PinholeCamera(width=frames[0].shape[1], height=frames[0].shape[0],
                         K=np.asarray(K_np, np.float64))
