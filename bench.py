@@ -255,7 +255,8 @@ def bench_stereo_step(K_np, num_features=2000, baseline=0.54):
 
 
 def bench_full_pipeline(num_features=2000, n_frames=64, frame_kw=None,
-                        chunk_size=8, ba_n_iter=None, point_floor=None):
+                        chunk_size=8, ba_n_iter=None, point_floor=None,
+                        async_ba=False, pnp_hypotheses=None):
     """CompiledSLAM end to end on a KITTI-sized synthetic sequence: FPS with
     all host decision/keyframe/BA work included, plus mono-aligned ATE.
 
@@ -303,6 +304,9 @@ def bench_full_pipeline(num_features=2000, n_frames=64, frame_kw=None,
     cfg.optimization.point_bucket_floor = point_floor or 2048
     if ba_n_iter is not None:
         cfg.optimization.n_iter = ba_n_iter
+    cfg.optimization.async_ba = bool(async_ba)
+    if pnp_hypotheses is not None:
+        cfg.tracking.pnp_hypotheses = pnp_hypotheses
     cfg.initialization.min_inliers = min(100, max(30, num_features // 20))
     cam = PinholeCamera(width=frames[0].shape[1], height=frames[0].shape[0],
                         K=np.asarray(K_np, np.float64))

@@ -45,11 +45,14 @@ def main():
     devpromo = "devpromo" in sys.argv[2:]
     heavy_every = 1
     pose_floor = None
+    point_floor = None
     for a in sys.argv[2:]:
         if a.startswith("heavy"):
             heavy_every = int(a[5:])
         if a.startswith("pf"):
             pose_floor = int(a[2:])
+        if a.startswith("mf"):
+            point_floor = int(a[2:])
     num_features = 2000
     frames, K_np, Ts_gt = bench.synth_kitti_frames(
         n_frames=80, seed=3, step=0.6, n_sprites=1500
@@ -69,7 +72,7 @@ def main():
         # Match run_fullpipe_tpu.py: hold ONE BA shape for the whole run.
         cfg.optimization.window_size = 16
         cfg.optimization.pose_bucket_floor = pose_floor or 64
-        cfg.optimization.point_bucket_floor = 4096
+        cfg.optimization.point_bucket_floor = point_floor or 4096
     cfg.initialization.min_inliers = 100
     cam = PinholeCamera(
         width=frames[0].shape[1], height=frames[0].shape[0],
