@@ -94,6 +94,15 @@ class LoopClosing:
         )
         self._sig_table: dict[int, np.ndarray] = {}  # kf_id -> (V,)
 
+    def note_signature(self, kf_id: int, sig: "np.ndarray") -> None:
+        """Record an externally computed global signature for ``kf_id``.
+
+        The devpromo chunk computes promoted frames' signatures on device
+        inside the compact boundary fetch (pipeline.CompactChunk.sig), so
+        detection's query signature is a cache hit instead of a dedicated
+        device round trip."""
+        self._sig_table[int(kf_id)] = np.asarray(sig, np.float32)
+
     # -- detection ---------------------------------------------------------
     def detect(self, kf: KeyFrame) -> Optional[dict]:
         """Best verified loop candidate for ``kf``, or None.

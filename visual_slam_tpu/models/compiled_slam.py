@@ -715,6 +715,12 @@ class CompiledSLAM:
             kf = self._adopt_device_keyframe(
                 out_f, rec_f, ts_tuple[f], cur_ref, arena
             )
+            if comp is not None and self.loop_closing is not None:
+                # Signature came back in the same fused fetch: detection's
+                # query lookup is now a host cache hit (no extra RT).
+                self.loop_closing.note_signature(
+                    kf.keyframe_id, np.asarray(comp.sig)[s]
+                )
             new_kfs.append(kf)
             cur_ref = kf
         if new_kfs:
@@ -871,6 +877,10 @@ class CompiledSLAM:
             kf = self._adopt_device_keyframe(
                 out_f, rec_f, ts_tuple[f], cur_ref, arena
             )
+            if comp is not None and self.loop_closing is not None:
+                self.loop_closing.note_signature(
+                    kf.keyframe_id, np.asarray(comp.sig)[s]
+                )
             new_kfs.append(kf)
             cur_ref = kf
         if new_kfs:

@@ -477,6 +477,12 @@ class CompactChunk(NamedTuple):
     ref_pos: jnp.ndarray  # (P, K, 3) post-promotion reference landmarks
     ref_has: jnp.ndarray  # (P, K)
     ref_tri: jnp.ndarray  # (P, K) device-triangulated subset of ref_has
+    # (P, V) global place signatures of the promoted frames, computed on
+    # device inside the SAME fused fetch (loop_closing/signature.py). Loop
+    # detection's query signature becomes a host cache hit instead of a
+    # dedicated upload+dispatch+fetch round trip per heavy boundary (~40 ms
+    # through the remote relay, measured).
+    sig: jnp.ndarray
 
 
 def correction_similarity(T_old: "np.ndarray", T_new: "np.ndarray", s: float):
@@ -537,6 +543,8 @@ def make_compact_chunk(P: int):
     dispatched right after the chunk program (chained on its outputs, ~zero
     compute) so the boundary's single sync moves the slim struct only."""
 
+    from .loop_closing.signature import keyframe_signature
+
     @jax.jit
     def compact(outs: TrackOutput, recs: PromoteRecord) -> CompactChunk:
         C = outs.T_w2c.shape[0]
@@ -563,6 +571,9 @@ def make_compact_chunk(P: int):
             ref_pos=g(recs.ref_pos),
             ref_has=g(recs.ref_has),
             ref_tri=g(recs.ref_tri),
+            sig=jax.vmap(keyframe_signature)(
+                g(outs.features.desc), g(outs.features.valid)
+            ),
         )
 
     return compact
