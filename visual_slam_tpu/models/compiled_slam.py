@@ -148,7 +148,10 @@ class CompiledSLAM:
         if self._dev_promo and self._compact_P > 0:
             from ..pipeline import make_compact_chunk
 
-            self._compact_fn = make_compact_chunk(self._compact_P)
+            self._compact_fn = make_compact_chunk(
+                self._compact_P,
+                with_sig=bool(self.config.loop_closing.enabled),
+            )
         else:
             self._compact_fn = None
         self._chunk_buf: list[tuple[object, float]] = []  # (img_host, ts)

@@ -538,10 +538,14 @@ def apply_correction(state: TrackState, T_ref, R_u, t_u, s):
     return new, fix_pose(T_ref)
 
 
-def make_compact_chunk(P: int):
+def make_compact_chunk(P: int, with_sig: bool = True):
     """Build the jitted on-device compaction ``(outs, recs) -> CompactChunk``
     dispatched right after the chunk program (chained on its outputs, ~zero
-    compute) so the boundary's single sync moves the slim struct only."""
+    compute) so the boundary's single sync moves the slim struct only.
+
+    ``with_sig=False`` (loop closing disabled) skips the place-signature
+    matmul and ships a (P, 1) zero placeholder instead — the field is only
+    consumed when a LoopClosing instance exists to receive it."""
 
     from .loop_closing.signature import keyframe_signature
 
@@ -571,8 +575,12 @@ def make_compact_chunk(P: int):
             ref_pos=g(recs.ref_pos),
             ref_has=g(recs.ref_has),
             ref_tri=g(recs.ref_tri),
-            sig=jax.vmap(keyframe_signature)(
-                g(outs.features.desc), g(outs.features.valid)
+            sig=(
+                jax.vmap(keyframe_signature)(
+                    g(outs.features.desc), g(outs.features.valid)
+                )
+                if with_sig
+                else jnp.zeros((P, 1), jnp.float32)
             ),
         )
 
