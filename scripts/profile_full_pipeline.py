@@ -72,7 +72,9 @@ def main():
         # Match run_fullpipe_tpu.py: hold ONE BA shape for the whole run.
         cfg.optimization.window_size = 16
         cfg.optimization.pose_bucket_floor = pose_floor or 64
-        cfg.optimization.point_bucket_floor = point_floor or 4096
+        cfg.optimization.point_bucket_floor = (
+            4096 if point_floor is None else point_floor
+        )
     cfg.initialization.min_inliers = 100
     cam = PinholeCamera(
         width=frames[0].shape[1], height=frames[0].shape[0],

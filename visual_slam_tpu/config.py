@@ -258,7 +258,10 @@ class MapConfig:
     cull_redundant_keyframes: bool = True
     kf_redundancy_threshold: float = 0.9  # fraction seen by >= 3 other KFs
     min_keyframes_before_cull: int = 8
-    max_landmarks: int = 0  # 0 = unlimited; else evict least-observed
+    max_landmarks: int = 0  # 0 = unlimited; else evict least-recently-seen
+    # Landmarks observed by any of the last N keyframes are never evicted
+    # (they are the live tracking reference/arena); see Map.evict_landmarks.
+    budget_protect_recent: int = 8
 
 
 @dataclass

@@ -200,12 +200,11 @@ class LocalMapping:
         return culled
 
     def enforce_landmark_budget(self, budget: int) -> int:
-        """Evict least-observed landmarks beyond the budget."""
-        mps = [mp for mp in self.map.get_map_points() if not mp.is_bad]
-        excess = len(mps) - budget
-        if excess <= 0:
-            return 0
-        mps.sort(key=lambda mp: (mp.num_observations(), mp.id))
-        for mp in mps[:excess]:
-            self.map.remove_map_point(mp)
-        return excess
+        """Evict landmarks beyond the budget (Map.evict_landmarks policy:
+        LRU by newest observing keyframe, recently-observed protected)."""
+        return self.map.evict_landmarks(
+            budget,
+            protect_recent=getattr(
+                self.config.map, "budget_protect_recent", 8
+            ),
+        )

@@ -729,6 +729,7 @@ class CompiledSLAM:
         if new_kfs:
             kf_last = new_kfs[-1]
             self._frames_since_kf = last - int(promo_idx[-1])
+            self._enforce_budget()
             heavy = (
                 tcfg.heavy_boundary_every <= 1
                 or self._promos_since_heavy + len(new_kfs)
@@ -890,6 +891,7 @@ class CompiledSLAM:
             kf_last = new_kfs[-1]
             self._ref_kf = kf_last
             self._frames_since_kf = last - int(promo_idx[-1])
+            self._enforce_budget()
             # Keep the device's guided-matching arena fresh with the newly
             # adopted landmarks (dispatch-only upload, no sync).
             if self._arena_size:
@@ -1061,6 +1063,30 @@ class CompiledSLAM:
             int(inherited.sum()), created, dropped, kf.num_map_points(),
         )
         return kf
+
+    def _enforce_budget(self) -> int:
+        """Landmark-budget eviction for the compiled path (config.map.
+        max_landmarks; Map.evict_landmarks LRU policy, recent keyframes'
+        landmarks protected). Runs at every keyframe boundary BEFORE the BA
+        pack so the map stays inside ONE point shape bucket for the whole
+        run — mid-run bucket growth costs a 7-13 s recompile inside the
+        frame loop and is exactly the sequence-scale collapse mode the
+        reference documents (reference docs/article.md:673-683). Host-side
+        LocalMapping enforces the same budget on the threaded path
+        (local_mapping/local_mapping.py)."""
+        budget = getattr(self.config.map, "max_landmarks", 0)
+        if budget <= 0:
+            return 0
+        n = self.map.evict_landmarks(
+            budget,
+            protect_recent=getattr(self.config.map, "budget_protect_recent", 8),
+        )
+        if n:
+            self.logger.debug(
+                "landmark budget: evicted %d (map at %d / budget %d)",
+                n, self.map.num_map_points(), budget,
+            )
+        return n
 
     def _boundary_heavy(self, kf: KeyFrame) -> None:
         """BA + loop closing for the device-promotion path. The device-
@@ -1342,6 +1368,7 @@ class CompiledSLAM:
 
         self.map.add_keyframe(kf)
         self._frames_since_kf = 0
+        self._enforce_budget()
 
         if heavy:
             # Windowed BA (bucketed shapes; full map while small): the

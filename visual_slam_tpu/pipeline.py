@@ -538,7 +538,7 @@ def apply_correction(state: TrackState, T_ref, R_u, t_u, s):
     return new, fix_pose(T_ref)
 
 
-def make_compact_chunk(P: int, with_sig: bool = True):
+def make_compact_chunk(P: int, with_sig: bool = False):
     """Build the jitted on-device compaction ``(outs, recs) -> CompactChunk``
     dispatched right after the chunk program (chained on its outputs, ~zero
     compute) so the boundary's single sync moves the slim struct only.
