@@ -168,13 +168,25 @@ def _solve_step(T_w2c, points, uv, w_obs, pose_free, lam, huber, axis_name=None)
     w = w_obs * _robust_weights(r, huber) * in_front  # (M, W)
     # Zero pose Jacobians of fixed/invalid poses (gauge).
     Jp = Jp * pose_free[None, :, None, None]
+    Jpw = Jp * w[..., None, None]
+    Jxw = Jx * w[..., None, None]
 
-    # Normal-equation blocks.
-    U = jnp.einsum("mwai,mw,mwaj->wij", Jp, w, Jp)  # (W, 6, 6)
-    V = jnp.einsum("mwai,mw,mwaj->mij", Jx, w, Jx)  # (M, 3, 3)
-    Y = jnp.einsum("mwai,mw,mwaj->mwij", Jp, w, Jx)  # (M, W, 6, 3)
-    gp = jnp.einsum("mwai,mw,mwa->wi", Jp, w, r)  # (W, 6)
-    gx = jnp.einsum("mwai,mw,mwa->mi", Jx, w, r)  # (M, 3)
+    # Normal-equation blocks. Contractions over the BIG m axis stay einsums
+    # (MXU matmuls); every 2/3-wide contraction below is UNROLLED to
+    # broadcast multiply-adds — dot_general over a 3-wide axis lowers to
+    # per-m padded matmuls on TPU and was the whole W32/M4096 dense-BA
+    # cliff: 99 -> 17 ms, W64/M4096 174 -> 23 ms, identical costs
+    # (benchlogs/q_ba_fix_sparse2.log; attribution in q_ba_cliff_quick.log:
+    # T_blk/dX-class ops ~68 of ~100 ms).
+    U = jnp.einsum("mwai,mwaj->wij", Jpw, Jp)  # (W, 6, 6)
+    V = jnp.einsum("mwai,mwaj->mij", Jxw, Jx)  # (M, 3, 3)
+    gp = jnp.einsum("mwai,mwa->wi", Jpw, r)  # (W, 6)
+    gx = jnp.einsum("mwai,mwa->mi", Jxw, r)  # (M, 3)
+    # Y (M, W, 6, 3): unroll the 2-wide residual axis.
+    Y = (
+        Jpw[:, :, 0, :, None] * Jx[:, :, 0, None, :]
+        + Jpw[:, :, 1, :, None] * Jx[:, :, 1, None, :]
+    )
 
     # Complete the pose-block reductions across landmark shards BEFORE
     # damping (damping must be added exactly once).
@@ -187,8 +199,13 @@ def _solve_step(T_w2c, points, uv, w_obs, pose_free, lam, huber, axis_name=None)
     V = V + lam * jnp.eye(3)[None]
     Vinv = _inv3x3(V)  # batched 3x3, closed form
 
-    # Schur complement on landmarks.
-    T_blk = jnp.einsum("mwij,mjk->mwik", Y, Vinv)  # (M, W, 6, 3)
+    # Schur complement on landmarks. T_blk = Y @ Vinv per landmark:
+    # unroll the 3-wide contraction (see cliff note above).
+    T_blk = (
+        Y[:, :, :, 0, None] * Vinv[:, None, None, 0, :]
+        + Y[:, :, :, 1, None] * Vinv[:, None, None, 1, :]
+        + Y[:, :, :, 2, None] * Vinv[:, None, None, 2, :]
+    )  # (M, W, 6, 3)
     S_cross = jnp.einsum("muik,mvjk->uivj", T_blk, Y)  # (W, 6, W, 6)
     b_local = -jnp.einsum("mwik,mk->wi", T_blk, gx)  # (W, 6) partial
     if axis_name is not None:
@@ -211,9 +228,14 @@ def _solve_step(T_w2c, points, uv, w_obs, pose_free, lam, huber, axis_name=None)
     # the cheaper lowering for the per-iteration (6W, 6W) solve on TPU.
     L = jnp.linalg.cholesky(Sd)
     dxi = -jax.scipy.linalg.cho_solve((L, True), b.reshape(W * 6)).reshape(W, 6)
-    # Back-substitute landmarks: dX = -Vinv (gx + Y^T dxi_summed)
+    # Back-substitute landmarks: dX = -Vinv (gx + Y^T dxi_summed).
     YtdP = jnp.einsum("mwij,wi->mj", Y, dxi)  # (M, 3)
-    dX = -jnp.einsum("mij,mj->mi", Vinv, gx + YtdP)
+    g2 = gx + YtdP
+    dX = -(
+        Vinv[:, :, 0] * g2[:, None, 0]
+        + Vinv[:, :, 1] * g2[:, None, 1]
+        + Vinv[:, :, 2] * g2[:, None, 2]
+    )
     return dxi, dX
 
 
@@ -550,11 +572,22 @@ class BASparse(NamedTuple):
         return self.points.shape[0]
 
 
-def _residuals_and_jacobians_sparse(T_w2c, points, uv, obs_pose):
-    """Sparse counterpart of :func:`_residuals_and_jacobians`: gathers each
-    observation's pose, shapes are (M, K, ...)."""
-    Rg = T_w2c[obs_pose, :3, :3]  # (M, K, 3, 3)
-    tg = T_w2c[obs_pose, :3, 3]  # (M, K, 3)
+def _pose_onehot(obs_pose, W, dtype=jnp.float32):
+    """(M, K, W) one-hot pose indicator — the gather-free access path to
+    per-observation pose data. Constant across LM iterations: build ONCE
+    per solve, outside the scan."""
+    return jax.nn.one_hot(obs_pose, W, dtype=dtype)
+
+
+def _residuals_and_jacobians_sparse(T_w2c, points, uv, onehot):
+    """Sparse counterpart of :func:`_residuals_and_jacobians`; shapes are
+    (M, K, ...). Pose blocks arrive via one-hot contraction instead of
+    ``T_w2c[obs_pose]``: the tiny unaligned gather of 3x3 blocks lowers to
+    a SERIAL per-element loop on TPU and was ~99% of the sparse solve wall
+    (9.6 s -> 0.13 s at W=32/M=4096/K=16 when every gather in the solve
+    became a one-hot matmul, benchlogs/q_ba_fix_sparse2.log)."""
+    Rg = jnp.einsum("mkw,wab->mkab", onehot, T_w2c[:, :3, :3])  # (M, K, 3, 3)
+    tg = jnp.einsum("mkw,wa->mka", onehot, T_w2c[:, :3, 3])  # (M, K, 3)
     pc = jnp.einsum("mkab,mb->mka", Rg, points) + tg
     x, y, z = pc[..., 0], pc[..., 1], pc[..., 2]
     zs = jnp.where(jnp.abs(z) < _EPS, _EPS, z)
@@ -579,32 +612,43 @@ def _residuals_and_jacobians_sparse(T_w2c, points, uv, obs_pose):
 
 
 def _solve_step_sparse(
-    T_w2c, points, uv, obs_pose, w_obs, pose_free, lam, huber, axis_name=None
+    T_w2c, points, uv, onehot, pf_obs, w_obs, pose_free, lam, huber,
+    axis_name=None,
 ):
     """One LM linear solve on the sparse layout: returns (dxi, dX).
 
-    Pose-indexed reductions (U, gp, S_cross, b) fold a ONE-HOT pose
+    GATHER-FREE: every ``[obs_pose]`` access (pose blocks, pose_free mask,
+    back-substituted dxi) is a one-hot contraction — the tiny unaligned
+    gathers lowered to a serial per-element loop on TPU and were the whole
+    9.5 s sparse cliff (73x at W=64/M=4096, q_ba_fix_sparse2.log).
+    Pose-indexed reductions (U, gp, S_cross, b) fold the same ONE-HOT
     indicator into dense einsums instead of ``jax.ops.segment_sum``: on TPU
     a ~1M-element segment_sum lowers to a SERIAL scatter (measured
     11 s/solve at W=32, CLAUDE.md "TPU linear-algebra lowering"), while the
     equivalent one-hot contraction is an MXU matmul. Landmark blocks (V, gx,
-    back-subst) reduce locally over the K axis. With ``axis_name``, the
-    landmark axis is sharded exactly as in the dense solver (psum completes
-    pose blocks)."""
+    back-subst) reduce locally over the K axis; 3-wide contractions are
+    unrolled to broadcast multiply-adds (same relowering as the dense
+    solver). With ``axis_name``, the landmark axis is sharded exactly as in
+    the dense solver (psum completes pose blocks)."""
     M, K = uv.shape[:2]
     W = T_w2c.shape[0]
     r, Jp, Jx, in_front = _residuals_and_jacobians_sparse(
-        T_w2c, points, uv, obs_pose
+        T_w2c, points, uv, onehot
     )
     w = w_obs * _robust_weights(r, huber) * in_front  # (M, K)
-    Jp = Jp * pose_free[obs_pose][..., None, None]
-    onehot = jax.nn.one_hot(obs_pose, W, dtype=r.dtype)  # (M, K, W)
+    Jp = Jp * pf_obs[..., None, None]
+    Jpw = Jp * w[..., None, None]
+    Jxw = Jx * w[..., None, None]
 
-    U = jnp.einsum("mkai,mk,mkaj,mkw->wij", Jp, w, Jp, onehot)  # (W, 6, 6)
-    gp = jnp.einsum("mkai,mk,mka,mkw->wi", Jp, w, r, onehot)  # (W, 6)
-    V = jnp.einsum("mkai,mk,mkaj->mij", Jx, w, Jx)  # (M, 3, 3)
-    gx = jnp.einsum("mkai,mk,mka->mi", Jx, w, r)  # (M, 3)
-    Y = jnp.einsum("mkai,mk,mkaj->mkij", Jp, w, Jx)  # (M, K, 6, 3)
+    U = jnp.einsum("mkai,mkaj,mkw->wij", Jpw, Jp, onehot)  # (W, 6, 6)
+    gp = jnp.einsum("mkai,mka,mkw->wi", Jpw, r, onehot)  # (W, 6)
+    V = jnp.einsum("mkai,mkaj->mij", Jxw, Jx)  # (M, 3, 3)
+    gx = jnp.einsum("mkai,mka->mi", Jxw, r)  # (M, 3)
+    # Y (M, K, 6, 3): unroll the 2-wide residual axis.
+    Y = (
+        Jpw[:, :, 0, :, None] * Jx[:, :, 0, None, :]
+        + Jpw[:, :, 1, :, None] * Jx[:, :, 1, None, :]
+    )
 
     if axis_name is not None:
         U = jax.lax.psum(U, axis_name)
@@ -614,7 +658,12 @@ def _solve_step_sparse(
     V = V + lam * jnp.eye(3)[None]
     Vinv = _inv3x3(V)  # (M, 3, 3), closed form
 
-    T_blk = jnp.einsum("mkij,mjl->mkil", Y, Vinv)  # (M, K, 6, 3)
+    # T_blk = Y @ Vinv per observation: unroll the 3-wide contraction.
+    T_blk = (
+        Y[:, :, :, 0, None] * Vinv[:, None, None, 0, :]
+        + Y[:, :, :, 1, None] * Vinv[:, None, None, 1, :]
+        + Y[:, :, :, 2, None] * Vinv[:, None, None, 2, :]
+    )  # (M, K, 6, 3)
     # Cross blocks: scatter each landmark's K observation blocks into dense
     # per-pose slots via the one-hot matmul, then contract landmarks away in
     # ONE big (W6, M3) x (M3, W6) matmul. Versus the pairwise (M, K, K)
@@ -644,8 +693,14 @@ def _solve_step_sparse(
     # the cheaper lowering for the per-iteration (6W, 6W) solve on TPU.
     L = jnp.linalg.cholesky(Sd)
     dxi = -jax.scipy.linalg.cho_solve((L, True), b.reshape(W * 6)).reshape(W, 6)
-    YtdP = jnp.einsum("mkij,mki->mj", Y, dxi[obs_pose])  # (M, 3)
-    dX = -jnp.einsum("mij,mj->mi", Vinv, gx + YtdP)
+    dxi_obs = jnp.einsum("mkw,wi->mki", onehot, dxi)  # gather-free dxi[obs_pose]
+    YtdP = jnp.einsum("mkij,mki->mj", Y, dxi_obs)  # (M, 3)
+    g2 = gx + YtdP
+    dX = -(
+        Vinv[:, :, 0] * g2[:, None, 0]
+        + Vinv[:, :, 1] * g2[:, None, 1]
+        + Vinv[:, :, 2] * g2[:, None, 2]
+    )
     return dxi, dX
 
 
@@ -661,17 +716,20 @@ def bundle_adjust_sparse(
     :func:`bundle_adjust`."""
     w_obs = problem.obs_valid.astype(jnp.float32)
     pose_free = (problem.pose_valid & ~problem.pose_fixed).astype(jnp.float32)
+    # Constant across LM iterations: build ONCE, outside the scan.
+    onehot = _pose_onehot(problem.obs_pose, problem.T_w2c.shape[0])
+    pf_obs = jnp.einsum("mkw,w->mk", onehot, pose_free)
 
     def cost_of(T, X):
         r, _, _, in_front = _residuals_and_jacobians_sparse(
-            T, X, problem.uv, problem.obs_pose
+            T, X, problem.uv, onehot
         )
         return _cost(r, w_obs, in_front, huber, axis_name=axis_name)
 
     def body(carry, _):
         T, X, lam, c = carry
         dxi, dX = _solve_step_sparse(
-            T, X, problem.uv, problem.obs_pose, w_obs, pose_free, lam, huber,
+            T, X, problem.uv, onehot, pf_obs, w_obs, pose_free, lam, huber,
             axis_name=axis_name,
         )
         T_new, X_new = _apply_step(T, X, dxi, dX)
@@ -703,7 +761,7 @@ def residual_norms_sparse(
     """Per-observation reprojection error norms (M, K); invalid or
     behind-camera observations get +inf."""
     r, _, _, in_front = _residuals_and_jacobians_sparse(
-        T_w2c, points, uv, obs_pose
+        T_w2c, points, uv, _pose_onehot(obs_pose, T_w2c.shape[0])
     )
     rn = jnp.linalg.norm(r, axis=-1)
     return jnp.where(obs_valid & in_front, rn, jnp.inf)

@@ -19,6 +19,7 @@ import logging
 from typing import List, Sequence
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..config import Config
@@ -310,11 +311,19 @@ class LMOptimizer(BaseOptimizer):
         if not hasattr(self, "shapes_seen"):
             self.shapes_seen = set()
         self.shapes_seen.add((w_bucket, m_bucket))
-        use_sparse = (
-            w_bucket >= cfg.sparse_auto_min_window
-            if cfg.sparse_obs == "auto"
-            else bool(cfg.sparse_obs)
-        )
+        # 'auto' NEVER selects sparse on TPU: post gather-free relower the
+        # sparse solve is safe (107 ms vs the old 9.5 s at W=64/M=4096) but
+        # the dense grid still wins at every deployment shape (22.8 ms @
+        # W=64/M=4096 — 'wasted' dense MXU FLOPs beat the K-axis savings;
+        # benchlogs/q_ba_honest.log). The window threshold remains live for
+        # CPU, where the savings are real.
+        if cfg.sparse_obs == "auto":
+            use_sparse = (
+                jax.default_backend() != "tpu"
+                and w_bucket >= cfg.sparse_auto_min_window
+            )
+        else:
+            use_sparse = bool(cfg.sparse_obs)
         if use_sparse:
             problem, used_points, kf_slot, packed_valid, kp_of, obs_pose = (
                 self._pack_sparse(

@@ -202,10 +202,13 @@ class OptimizationConfig:
     # A/B (scripts/bench_ba_sparse.py).
     # Landmarks tracked longer than obs_cap keep an evenly-spread subset of
     # their observations for that solve (logged).
-    # False | True | "auto" (sparse once the pose bucket reaches
-    # sparse_auto_min_window — the layout's K-axis savings only beat the
-    # dense grid at wide windows; threshold set by the device A/B,
-    # scripts/bench_ba_sparse.py / benchlogs/q_ba_sparse.log).
+    # Round 5 made the whole sparse solve GATHER-FREE (every [obs_pose]
+    # access is a one-hot contraction): 9.5 s -> 107 ms at W=64/M=4096.
+    # Even so the dense grid still wins at every deployment shape on TPU
+    # (22.8 ms at the same shape, benchlogs/q_ba_honest.log), so "auto"
+    # selects sparse only OFF-TPU (backend/optimizer.py) once the pose
+    # bucket reaches sparse_auto_min_window.
+    # False | True | "auto".
     sparse_obs: bool | str = False
     sparse_auto_min_window: int = 32
     obs_cap: int = 16
