@@ -28,17 +28,33 @@ import numpy as np
 
 
 def synth_kitti_frames(n_frames=12, H=376, W=1240, f=718.856, n_sprites=900,
-                       seed=0, step=0.8, baseline=0.0):
+                       seed=0, step=0.8, baseline=0.0, stratified=False):
     """Sprite-world frames at KITTI resolution (see tests/render.py).
     Returns (frames, K, T_w2c ground truth); with ``baseline`` > 0 also a
     right-camera sequence (offset along camera +x, KITTI rig convention) so
     stereo disparity is REAL, not a zero-disparity stack:
-    (frames, frames_right, K, Ts)."""
+    (frames, frames_right, K, Ts).
+
+    ``stratified``: place sprites on a jittered grid along x (the travel
+    axis) instead of i.i.d. uniform. Over a ~200 m span, i.i.d. placement
+    has local density fluctuations large enough to flip the run: the 256-
+    frame world (n_sprites=3400) starved its start region (bootstrap only
+    at f11 with 94 pts) and died at f16/f43 on 2 of 3 seeds with 20-50
+    PnP inliers throughout, while the SAME per-x density tracks fine in
+    the 64-frame world (benchlogs/q_diag_world_compare.log). Stratified
+    placement makes per-frame visible-sprite count layout-independent;
+    used by the sequence-scale benches, off for the short worlds (keeps
+    r4 numbers comparable)."""
     rng = np.random.default_rng(seed)
     K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1.0]], np.float32)
     span = max(30.0, step * n_frames + 20.0)
+    if stratified:
+        xs = -30.0 + (np.arange(n_sprites) + rng.uniform(0, 1, n_sprites)) \
+            / n_sprites * (40.0 + span)
+    else:
+        xs = rng.uniform(-30, 10 + span, n_sprites)
     pts = np.stack(
-        [rng.uniform(-30, 10 + span, n_sprites), rng.uniform(-8, 8, n_sprites),
+        [xs, rng.uniform(-8, 8, n_sprites),
          rng.uniform(8, 50, n_sprites)], 1
     )
     sizes = rng.uniform(0.15, 0.6, n_sprites)
@@ -262,7 +278,7 @@ def bench_stereo_step(K_np, num_features=2000, baseline=0.54):
 def bench_full_pipeline(num_features=2000, n_frames=64, frame_kw=None,
                         chunk_size=8, ba_n_iter=None, point_floor=None,
                         async_ba=False, pnp_hypotheses=None,
-                        max_landmarks=0):
+                        max_landmarks=0, window_size=None):
     """CompiledSLAM end to end on a KITTI-sized synthetic sequence: FPS with
     all host decision/keyframe/BA work included, plus mono-aligned ATE.
 
@@ -305,7 +321,7 @@ def bench_full_pipeline(num_features=2000, n_frames=64, frame_kw=None,
     cfg.tracking.heavy_boundary_every = 2
     cfg.tracking.upload_f16 = True
     cfg.optimization.max_points = 4096
-    cfg.optimization.window_size = 16
+    cfg.optimization.window_size = 16 if window_size is None else window_size
     cfg.optimization.pose_bucket_floor = 32
     cfg.optimization.point_bucket_floor = (
         2048 if point_floor is None else point_floor
@@ -330,12 +346,18 @@ def bench_full_pipeline(num_features=2000, n_frames=64, frame_kw=None,
 
     # Bootstrap + compile outside the timed window (compiles are a one-time
     # per-deployment cost; the metric is steady-state sensor-rate capacity).
+    # Allowance 16: the denser long-run world (n_sprites=3400) has more
+    # sprite-on-sprite occlusion and clears the two-view inlier gate only at
+    # frame ~11 (benchlogs/q_diag_long_bootstrap.log) — and a failure must
+    # be LOUD (run() records the raise in errors), not a silent None.
     i = 0
-    while slam.state.name != "OK" and i < 6:
+    while slam.state.name != "OK" and i < 16:
         slam.track([frames[i]], timestamp=i * 0.1)
         i += 1
     if slam.state.name != "OK":
-        return None
+        raise RuntimeError(
+            f"bootstrap failed: state={slam.state.name} after {i} frames"
+        )
     # Warm through TWO full heavy-boundary cycles so every shape (chunk
     # scan, compaction, the single BA bucket) compiles before the timer —
     # and align the timed span to the chunk size: flush() runs inside the
@@ -459,14 +481,26 @@ def bench_stereo_pipeline(num_features=2000, n_frames=48, chunk_size=8,
 
 
 def bench_loop_pipeline(num_features=2000, n_frames=200, chunk_size=8,
-                        H=376, W=1240, f=718.856, n_sprites=2400):
+                        H=376, W=1240, f=718.856, n_sprites=2400,
+                        noise=2.0, bright=0.05):
     """Loop closure ON THE DEVICE PIPELINE (VERDICT r4 #6: detection ->
     Sim(3) pose graph -> landmark rescale had only run CPU-forced): a
     circular revisit trajectory around a KITTI-resolution ring world,
     CompiledSLAM with the bench deployment shape, loop closing ON vs OFF
-    on the same frames. The ON run's compact boundary fetch carries the
-    place signatures (pipeline.CompactChunk.sig). Returns both ATEs (%% of
-    path), the ON run's fps and the number of closures."""
+    on the same frames.
+
+    The frames carry the CPU endurance world's photometric stress (gaussian
+    noise + slow sinusoidal brightness drift, scripts/exp_loop_endurance.py)
+    — without it the 2000-feature KITTI-res front end tracks the ring at
+    ~0.1%% ATE and there is no drift for the closure to fix (measured:
+    ON 0.106 / OFF 0.118, bench_1787155464). The ON run's compact boundary
+    fetch carries the place signatures (pipeline.CompactChunk.sig).
+
+    fps_on is a steady-state number: bootstrap + two heavy-boundary warm
+    cycles run before the timer, same policy as bench_full_pipeline (the
+    old full-run timing charged ~60 s of one-time compiles to 200 frames
+    -> a meaningless 3 fps). Returns both ATEs (%% of path), the ON run's
+    steady-state fps and the number of closures."""
     import os
     import sys
     import time as _t
@@ -491,9 +525,12 @@ def bench_loop_pipeline(num_features=2000, n_frames=200, chunk_size=8,
         n_sprites=n_sprites, y_range=(-6, 6),
     )
     K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1.0]])
-    frames = [
-        render(world, T, K, W, H).astype(np.float32) for T in Ts
-    ]
+    frames = []
+    for i, T in enumerate(Ts):
+        img = render(world, T, K, W, H).astype(np.float32)
+        img = img * (1.0 + bright * np.sin(2 * np.pi * i / 50.0))
+        img = img + rng.normal(0, noise, img.shape)
+        frames.append(np.clip(img, 0, 255).astype(np.float32))
     gt = np.stack([-T[:3, :3].T @ T[:3, 3] for T in Ts])
     path_len = float(np.linalg.norm(np.diff(gt, axis=0), axis=1).sum())
 
@@ -513,9 +550,24 @@ def bench_loop_pipeline(num_features=2000, n_frames=200, chunk_size=8,
         cfg.loop_closing.enabled = loop_on
         cam = PinholeCamera(width=W, height=H, K=K)
         slam = CompiledSLAM(cam, cfg)
+        i = 0
+        while slam.state.name != "OK" and i < 16:
+            slam.track([frames[i]], timestamp=i * 0.1)
+            i += 1
+        if slam.state.name != "OK":
+            raise RuntimeError(f"loop bench bootstrap failed after {i}")
+        warm_end = min(
+            i + 2 * max(chunk_size, 4) * cfg.tracking.heavy_boundary_every + 1,
+            len(frames) - 4 * chunk_size,
+        )
+        while i < warm_end:
+            slam.track([frames[i]], timestamp=i * 0.1)
+            i += 1
         t0 = _t.perf_counter()
-        for i, img in enumerate(frames):
-            slam.track([img], timestamp=i * 0.1)
+        n_timed = 0
+        for k in range(i, len(frames)):
+            slam.track([frames[k]], timestamp=k * 0.1)
+            n_timed += 1
         slam.flush()
         wall = _t.perf_counter() - t0
         ts, Tw = slam.trajectory()
@@ -528,7 +580,7 @@ def bench_loop_pipeline(num_features=2000, n_frames=200, chunk_size=8,
         )
         return (
             100.0 * float(res["rmse"]) / max(path_len, 1e-9),
-            len(frames) / wall,
+            n_timed / wall,
             loops,
             slam.state.name,
         )
@@ -857,7 +909,8 @@ def main():
     # per-frame feature density matches the 64-frame run.
     full_long = run(
         "full_pipeline_long", bench_full_pipeline, num_features,
-        n_frames=256, frame_kw={"n_sprites": 3400}, max_landmarks=2048,
+        n_frames=256, frame_kw={"n_sprites": 3400, "stratified": True},
+        max_landmarks=2048,
     )
     if full_long is not None:
         extra["full_pipeline_long_fps"] = full_long["fps"]
