@@ -278,7 +278,8 @@ def bench_stereo_step(K_np, num_features=2000, baseline=0.54):
 def bench_full_pipeline(num_features=2000, n_frames=64, frame_kw=None,
                         chunk_size=8, ba_n_iter=None, point_floor=None,
                         async_ba=False, pnp_hypotheses=None,
-                        max_landmarks=0, window_size=None):
+                        max_landmarks=0, window_size=None, heavy_every=None,
+                        protect_recent=None):
     """CompiledSLAM end to end on a KITTI-sized synthetic sequence: FPS with
     all host decision/keyframe/BA work included, plus mono-aligned ATE.
 
@@ -318,7 +319,7 @@ def bench_full_pipeline(num_features=2000, n_frames=64, frame_kw=None,
     # window, and the dense BA solve has a shape cliff above M=2048:
     # mf4096 24.28 fps -> mf2048 28.15 fps @ 0.794%% ATE on device).
     cfg.tracking.device_promotion = True
-    cfg.tracking.heavy_boundary_every = 2
+    cfg.tracking.heavy_boundary_every = 2 if heavy_every is None else heavy_every
     cfg.tracking.upload_f16 = True
     cfg.optimization.max_points = 4096
     cfg.optimization.window_size = 16 if window_size is None else window_size
@@ -339,6 +340,8 @@ def bench_full_pipeline(num_features=2000, n_frames=64, frame_kw=None,
         # compiled shape mid-run.
         cfg.map.max_landmarks = max_landmarks
         cfg.optimization.max_points = cfg.optimization.point_bucket_floor
+        if protect_recent is not None:
+            cfg.map.budget_protect_recent = protect_recent
     cfg.initialization.min_inliers = min(100, max(30, num_features // 20))
     cam = PinholeCamera(width=frames[0].shape[1], height=frames[0].shape[0],
                         K=np.asarray(K_np, np.float64))
@@ -594,6 +597,90 @@ def bench_loop_pipeline(num_features=2000, n_frames=200, chunk_size=8,
         "loops_closed": loops_on,
         "state_on": state_on,
         "state_off": state_off,
+    }
+
+
+def bench_loop_endurance_device(n_frames=200):
+    """The CPU loop-endurance scenario (scripts/exp_loop_endurance.py —
+    320x240 ring, 320 features, photometric noise + brightness drift + a
+    3-frame texture blackout forcing LOST -> relocalize) run ON DEVICE
+    (VERDICT r4 #6 'done' = reproduce the CPU 1.08%% vs 8.30%% ON/OFF split
+    on the TPU path; the CPU script forces jax_platforms=cpu at line 14).
+
+    The KITTI-res ring of bench_loop_pipeline only drifts ~0.2%% OFF at
+    2000 features (benchlogs/q_ladder_loop_drift.log) — too well-tracked
+    for a closure to show its worth; THIS world is where the drift lives.
+    Host SLAM facade, every kernel jitted on the device backend."""
+    import sys as _sys
+
+    _sys.path.insert(0, "tests")
+    from render import loop_path, make_ring_world, render
+
+    from visual_slam_tpu.camera import PinholeCamera
+    from visual_slam_tpu.config import Config
+    from visual_slam_tpu.slam import SLAM
+    from visual_slam_tpu.utils.metrics import ate_rmse, trajectory_from_keyframes
+
+    STEP, W, H, F = 0.25, 320, 240, 260.0
+    blackout = range(60, 63)
+    rng = np.random.default_rng(11)
+    Ts = loop_path(n_frames, step=STEP, closes=1.06)
+    yaw_rate = 2 * np.pi * 1.06 / n_frames
+    radius = STEP / (2 * np.sin(yaw_rate / 2))
+    world = make_ring_world(
+        rng, np.array([-radius, 0.0, 0.0]), radius + 3.0, radius + 13.0
+    )
+    K = np.array([[F, 0, W / 2], [0, F, H / 2], [0, 0, 1.0]])
+    frames = []
+    for i, T in enumerate(Ts):
+        if i in blackout:
+            img = np.full((H, W), 110.0, np.float32)
+        else:
+            img = render(world, T, K, W, H)
+        img = img * (1.0 + 0.05 * np.sin(2 * np.pi * i / 50.0))
+        img = img + rng.normal(0, 2.0, img.shape)
+        frames.append(np.clip(img, 0, 255).astype(np.float32))
+    gt_full = np.stack([-T[:3, :3].T @ T[:3, 3] for T in Ts])
+    path_len = float(np.linalg.norm(np.diff(gt_full, axis=0), axis=1).sum())
+
+    def one(loop_on):
+        cfg = Config()
+        cfg.feature.num_features = 320
+        cfg.feature.num_pyramid_levels = 2
+        cfg.feature.fast_threshold = 12.0
+        cfg.feature.grid_cells = 4
+        cfg.initialization.min_inliers = 40
+        cfg.tracking.keyframe_interval = 2
+        cfg.tracking.kf_min_matches = 25
+        cfg.optimization.window_size = 6
+        cfg.optimization.ba_every_n_keyframes = 2
+        cfg.map.cull_redundant_keyframes = True
+        cfg.map.min_keyframes_before_cull = 6
+        cfg.map.max_landmarks = 2500
+        cfg.loop_closing.enabled = loop_on
+        slam = SLAM(PinholeCamera(width=W, height=H, K=K), cfg)
+        reloc = 0
+        for i, img in enumerate(frames):
+            info = slam.track([img], timestamp=i * 0.1)
+            if info.get("relocalized"):
+                reloc += 1
+        slam.shutdown()
+        kfs = slam.map.get_keyframes()
+        est = trajectory_from_keyframes(kfs)
+        idx = [int(round(kf.timestamp / 0.1)) for kf in kfs]
+        ate = ate_rmse(est, gt_full[idx], align_scale=True)["rmse"]
+        loops = len(slam.loop_closing.closed_loops) if slam.loop_closing else 0
+        return 100.0 * ate / max(path_len, 1e-9), loops, reloc, slam.state.name
+
+    ate_on, loops_on, reloc_on, st_on = one(True)
+    ate_off, _, _, st_off = one(False)
+    return {
+        "ate_on_pct": round(ate_on, 3),
+        "ate_off_pct": round(ate_off, 3),
+        "loops_closed": loops_on,
+        "relocs": reloc_on,
+        "state_on": st_on,
+        "state_off": st_off,
     }
 
 
@@ -934,6 +1021,13 @@ def main():
         extra["loop_pipeline_ate_off"] = lp["ate_off_pct"]
         extra["loop_pipeline_fps"] = lp["fps_on"]
         extra["loop_pipeline_closures"] = lp["loops_closed"]
+
+    le = run("loop_endurance", bench_loop_endurance_device)
+    if le is not None:
+        extra["loop_endurance_ate_on"] = le["ate_on_pct"]
+        extra["loop_endurance_ate_off"] = le["ate_off_pct"]
+        extra["loop_endurance_closures"] = le["loops_closed"]
+        extra["loop_endurance_relocs"] = le["relocs"]
 
     ms = run("multiseq4", bench_multiseq, frames, K_np, 4, num_features)
     if ms is not None:

@@ -137,21 +137,55 @@ def main():
         pts3d = lp[lm_idx]
         return (valid & kv).sum().astype(jnp.float32) + pts3d.sum() * 1e-9
 
+    from visual_slam_tpu.ops.orb import unpack_bits
+    from visual_slam_tpu.ops.pallas_kernels import guided_top2_pallas
+
+    @jax.jit
+    def arm_full_pallas(lp, ld, lv, t, k, kxy, kd, kv):
+        uv, z = project_points(k, t, lp)
+        visible = lv & (z > 0.1) & (uv[:, 0] >= 0) & (uv[:, 0] < W) \
+            & (uv[:, 1] >= 0) & (uv[:, 1] < H)
+        b1 = unpack_bits(ld)
+        b2 = unpack_bits(kd)
+        lm_idx, valid = guided_top2_pallas(
+            b1, jnp.sum(b1.astype(jnp.float32), -1), visible, uv,
+            b2, jnp.sum(b2.astype(jnp.float32), -1), kv, kxy,
+            jnp.float32(R), ratio=0.8, max_distance=80.0,
+        )
+        valid = valid & kv
+        pts3d = lp[jnp.where(valid, lm_idx, 0)]
+        return valid.sum().astype(jnp.float32) + pts3d.sum() * 1e-9
+
     args8 = (lm_pos, lm_desc, lm_valid, T, K, kp_xy, kp_desc, kp_valid)
     print(f"shapes: M={M} Kp={Kp}", flush=True)
     print(f"dist         {timed_dispatch(arm_dist, lm_desc, kp_desc, lm_valid, kp_valid):7.3f} ms", flush=True)
     print(f"+gate_bcast  {timed_dispatch(arm_gate_bcast, *args8):7.3f} ms", flush=True)
     print(f"+gate_unroll {timed_dispatch(arm_gate_unroll, *args8):7.3f} ms", flush=True)
     print(f"+min2        {timed_dispatch(arm_min2, *args8):7.3f} ms", flush=True)
-    print(f"full         {timed_dispatch(arm_full, *args8):7.3f} ms", flush=True)
+    print(f"full(routed) {timed_dispatch(arm_full, *args8):7.3f} ms", flush=True)
     print(f"full_enc     {timed_dispatch(arm_full_enc, *args8):7.3f} ms", flush=True)
+    print(f"full_pallas  {timed_dispatch(arm_full_pallas, *args8):7.3f} ms", flush=True)
 
-    # Parity: enc arm must agree with shipped guided_match on winners.
+    # Parity on DEVICE (not interpret): shipped guided_match (now routed to
+    # the kernel on TPU) vs the XLA enc reconstruction.
     g = jax.device_get(guided_match(*args8, W, H, radius_px=R))
-    # recompute enc result on host
     uv, z = project_points(K, T, lm_pos)
-    uv = np.asarray(uv); z = np.asarray(z)
-    print("n_matches shipped:", int(g["n_matches"]), flush=True)
+    visible = lm_valid & (z > 0.1) & (uv[:, 0] >= 0) & (uv[:, 0] < W) \
+        & (uv[:, 1] >= 0) & (uv[:, 1] < H)
+    dist = distance_matrix(lm_desc, kp_desc, visible, kp_valid)
+    du = uv[:, 0][:, None] - kp_xy[:, 0][None, :]
+    dv = uv[:, 1][:, None] - kp_xy[:, 1][None, :]
+    dist = jnp.where(du * du + dv * dv <= R * R, dist, BIG)
+    best, second, kp_of_lm = min2(dist)
+    ok_lm = (best < BIG * 0.5) & (best <= 80.0) & (best < 0.8 * second)
+    enc = jnp.where(ok_lm, best.astype(jnp.int32) * M + jnp.arange(M), 1 << 30)
+    onehot = kp_of_lm[:, None] == jnp.arange(Kp)[None, :]
+    enc_kp = jnp.min(jnp.where(onehot, enc[:, None], 1 << 30), axis=0)
+    v_ref = np.asarray((enc_kp < (1 << 30)) & kp_valid)
+    i_ref = np.asarray(jnp.where(enc_kp < (1 << 30), enc_kp % M, 0))
+    agree_v = (np.asarray(g["valid"]) == v_ref).mean()
+    agree_i = (np.asarray(g["lm_idx"])[v_ref] == i_ref[v_ref]).mean() if v_ref.any() else 1.0
+    print(f"n_matches shipped: {int(g['n_matches'])}  valid agree {agree_v:.4f}  idx agree {agree_i:.4f}", flush=True)
 
 
 if __name__ == "__main__":

@@ -96,3 +96,60 @@ def test_pallas_patch_gather_equals_xla(rng):
     d31 = descriptors(a, ang31, jnp.asarray(SAMPLING_NP))
     d32 = descriptors(b, ang31, jnp.asarray(S32))
     np.testing.assert_array_equal(np.asarray(d31), np.asarray(d32))
+
+
+def test_pallas_guided_equals_xla(rng):
+    """Fused guided matcher (distance + spatial gate + ratio test + kp-
+    aligned encoded-min inversion in one kernel) vs the shipped XLA path
+    in ops/guided_matching.py — integer Hamming makes every decision exact,
+    so lm_idx/valid must agree exactly, including distance ties (duplicated
+    descriptors below) broken toward the lower landmark index."""
+    import jax
+    from visual_slam_tpu.ops.guided_matching import guided_match
+    from visual_slam_tpu.ops.orb import unpack_bits
+    from visual_slam_tpu.ops.pallas_kernels import guided_top2_pallas
+    from visual_slam_tpu.ops.projection import project_points
+
+    M, Kp = 300, 200
+    W, H, F = 320.0, 240.0, 260.0
+    K = jnp.asarray([[F, 0, W / 2], [0, F, H / 2], [0, 0, 1.0]], jnp.float32)
+    T = jnp.eye(4, dtype=jnp.float32)
+    lm_pos = jnp.asarray(np.stack([
+        rng.uniform(-4, 4, M), rng.uniform(-3, 3, M), rng.uniform(4, 30, M),
+    ], 1), jnp.float32)
+    lm_desc = _packed(rng, M)
+    # Distance ties: landmark i and i+1 share a descriptor for 30 pairs.
+    lm_desc = lm_desc.at[1:60:2].set(lm_desc[0:60:2])
+    lm_valid = jnp.asarray(rng.random(M) > 0.1)
+    kp_xy = jnp.asarray(np.stack([
+        rng.uniform(0, W, Kp), rng.uniform(0, H, Kp)], 1), jnp.float32)
+    kp_desc = _packed(rng, Kp)
+    # Make some keypoints plausible matches: copy landmark descriptors and
+    # place them near the landmark's projection.
+    uv_np, z_np = project_points(K, T, lm_pos)
+    for j in range(0, 120, 3):
+        kp_desc = kp_desc.at[j % Kp].set(lm_desc[j])
+        kp_xy = kp_xy.at[j % Kp].set(uv_np[j] + rng.uniform(-5, 5, 2))
+    kp_valid = jnp.asarray(rng.random(Kp) > 0.1)
+    radius = 12.0
+
+    ref = guided_match(lm_pos, lm_desc, lm_valid, T, K, kp_xy, kp_desc,
+                       kp_valid, W, H, radius_px=radius)
+
+    uv, z = project_points(K, T, lm_pos)
+    visible = (lm_valid & (z > 0.1) & (uv[:, 0] >= 0) & (uv[:, 0] < W)
+               & (uv[:, 1] >= 0) & (uv[:, 1] < H))
+    b1 = unpack_bits(lm_desc)
+    b2 = unpack_bits(kp_desc)
+    lm_idx, valid = guided_top2_pallas(
+        b1, jnp.sum(b1.astype(jnp.float32), -1), visible, uv,
+        b2, jnp.sum(b2.astype(jnp.float32), -1), kp_valid, kp_xy,
+        jnp.float32(radius), ratio=0.8, max_distance=80.0, interpret=True,
+    )
+    valid = valid & kp_valid
+    assert np.asarray(ref["valid"]).sum() > 10  # the fixture actually matches
+    np.testing.assert_array_equal(np.asarray(valid), np.asarray(ref["valid"]))
+    sel = np.asarray(ref["valid"])
+    np.testing.assert_array_equal(
+        np.asarray(lm_idx)[sel], np.asarray(ref["lm_idx"])[sel]
+    )

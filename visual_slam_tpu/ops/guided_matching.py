@@ -20,7 +20,7 @@ from .matching import BIG, distance_matrix, is_binary_desc, min2
 from .projection import project_points
 
 
-@partial(jax.jit, static_argnames=())
+@partial(jax.jit, static_argnames=("ratio", "max_distance"))
 def guided_match(
     lm_pos: jnp.ndarray,  # (M, 3) landmark positions (world)
     lm_desc: jnp.ndarray,  # (M, 8) packed descriptors
@@ -53,6 +53,31 @@ def guided_match(
         & (uv[:, 0] >= 0) & (uv[:, 0] < width)
         & (uv[:, 1] >= 0) & (uv[:, 1] < height)
     )
+    from .matching import _use_pallas
+
+    if _use_pallas() and is_binary_desc(lm_desc):
+        # Fused kernel: Hamming + spatial gate + ratio test + keypoint-
+        # aligned inversion without materializing (M, Kp) in HBM — the XLA
+        # path below re-reads that matrix ~6x and measured 3.06 ms of the
+        # 4.83 ms track step (benchlogs/q_track_pieces_v2.log). Tie-break
+        # semantics identical (min distance, then min landmark index —
+        # exact for integer Hamming).
+        from .orb import unpack_bits
+        from .pallas_kernels import guided_top2_pallas
+
+        b1 = unpack_bits(lm_desc)
+        b2 = unpack_bits(kp_desc)
+        lm_idx, valid = guided_top2_pallas(
+            b1, jnp.sum(b1.astype(jnp.float32), axis=-1), visible, uv,
+            b2, jnp.sum(b2.astype(jnp.float32), axis=-1), kp_valid, kp_xy,
+            jnp.float32(radius_px), ratio=float(ratio),
+            max_distance=float(max_distance),
+        )
+        valid = valid & kp_valid
+        pts3d = lm_pos[lm_idx]
+        return {"pts3d": pts3d, "valid": valid, "lm_idx": lm_idx,
+                "n_matches": jnp.sum(valid)}
+
     dist = distance_matrix(lm_desc, kp_desc, visible, kp_valid)  # (M, Kp)
     # Spatial gate: landmark's predicted pixel vs keypoint position.
     d2 = jnp.sum((uv[:, None, :] - kp_xy[None, :, :]) ** 2, axis=-1)
