@@ -600,7 +600,8 @@ def bench_loop_pipeline(num_features=2000, n_frames=200, chunk_size=8,
     }
 
 
-def bench_loop_endurance_device(n_frames=200):
+def bench_loop_endurance_device(n_frames=200, num_features=320,
+                                blackout=True):
     """The CPU loop-endurance scenario (scripts/exp_loop_endurance.py —
     320x240 ring, 320 features, photometric noise + brightness drift + a
     3-frame texture blackout forcing LOST -> relocalize) run ON DEVICE
@@ -622,7 +623,7 @@ def bench_loop_endurance_device(n_frames=200):
     from visual_slam_tpu.utils.metrics import ate_rmse, trajectory_from_keyframes
 
     STEP, W, H, F = 0.25, 320, 240, 260.0
-    blackout = range(60, 63)
+    blackout_frames = range(60, 63) if blackout else ()
     rng = np.random.default_rng(11)
     Ts = loop_path(n_frames, step=STEP, closes=1.06)
     yaw_rate = 2 * np.pi * 1.06 / n_frames
@@ -633,7 +634,7 @@ def bench_loop_endurance_device(n_frames=200):
     K = np.array([[F, 0, W / 2], [0, F, H / 2], [0, 0, 1.0]])
     frames = []
     for i, T in enumerate(Ts):
-        if i in blackout:
+        if i in blackout_frames:
             img = np.full((H, W), 110.0, np.float32)
         else:
             img = render(world, T, K, W, H)
@@ -645,7 +646,7 @@ def bench_loop_endurance_device(n_frames=200):
 
     def one(loop_on):
         cfg = Config()
-        cfg.feature.num_features = 320
+        cfg.feature.num_features = num_features
         cfg.feature.num_pyramid_levels = 2
         cfg.feature.fast_threshold = 12.0
         cfg.feature.grid_cells = 4
@@ -994,10 +995,15 @@ def main():
     # recompile evidence (a recompile is a 7-13 s call), ba_shapes the
     # packed-shape log. Sprite count scales with the longer path so the
     # per-frame feature density matches the 64-frame run.
+    # Ladder (benchlogs/q_ladder_long_quality{,2}.log): budget 3072 inside
+    # the 4096 point bucket is the knee — budget2048 evicts landmarks the
+    # BA window still packs (ATE 0.506 -> 3.81%), budget4096 pays host
+    # map-scan cost for landmarks eviction would harmlessly drop (23.5 vs
+    # 30.7 fps at bit-identical trajectories).
     full_long = run(
         "full_pipeline_long", bench_full_pipeline, num_features,
         n_frames=256, frame_kw={"n_sprites": 3400, "stratified": True},
-        max_landmarks=2048,
+        max_landmarks=3072, point_floor=4096,
     )
     if full_long is not None:
         extra["full_pipeline_long_fps"] = full_long["fps"]
