@@ -206,6 +206,59 @@ def bench_vo_step(imgs, K_np, num_features=2000):
     return n_iter / (time.perf_counter() - t0)
 
 
+def bench_vo_chunk(imgs, K_np, num_features=2000, chunk=8, n_disp=12):
+    """Device-throughput VO: the PRODUCTION chunked-tracking program
+    (pipeline.make_track_chunk — lax.scan of the fused step over ``chunk``
+    stacked frames, one dispatch per chunk), ``n_disp`` dispatches
+    back-to-back, ONE value fetch from the last output (the honest
+    amortizer — a lax.scan timing harness adds ~400 ms of one-time
+    in-program cost, CLAUDE.md round-5 lessons; back-to-back dispatches
+    don't).
+
+    Splits bench_vo_step's per-frame cost into relay-dispatch overhead
+    (vo_step pays submission per FRAME; this pays it per CHUNK) and true
+    device compute. The VERDICT r4 #8 roofline question — "is the relay RT
+    the tracked_fps floor?" — is answered by the gap between the two."""
+    import jax
+    import jax.numpy as jnp
+
+    from visual_slam_tpu.ops.detector import detect_and_describe
+    from visual_slam_tpu.pipeline import (
+        init_track_state,
+        make_track_chunk,
+        make_track_step,
+    )
+
+    rng = np.random.default_rng(1)
+    K = jnp.asarray(K_np)
+    feats0 = detect_and_describe(
+        imgs[0], num_features=num_features, threshold=20.0, n_levels=4
+    )
+    xy = np.asarray(feats0.xy)
+    z = rng.uniform(8, 40, num_features).astype(np.float32)
+    Kinv = np.linalg.inv(K_np)
+    rays = np.concatenate(
+        [xy, np.ones((num_features, 1), np.float32)], 1
+    ) @ Kinv.T
+    landmarks = rays * z[:, None]
+    state = init_track_state(
+        feats0, landmarks, np.asarray(feats0.valid), np.eye(4), seed=0
+    )
+    step = make_track_step(K, num_features=num_features, n_levels=4)
+    chunk_fn = make_track_chunk(step)
+    imgs_c = jnp.stack(
+        [imgs[1 + (i % (len(imgs) - 1))] for i in range(chunk)]
+    )
+    s, outs = chunk_fn(state, imgs_c)  # compile + warm
+    _ = float(jax.device_get(outs.T_w2c)[-1, 0, 0])
+    t0 = time.perf_counter()
+    s = state
+    for _i in range(n_disp):
+        s, outs = chunk_fn(s, imgs_c)
+    _ = float(jax.device_get(outs.T_w2c)[-1, 0, 0])
+    return chunk * n_disp / (time.perf_counter() - t0)
+
+
 def bench_stereo_step(K_np, num_features=2000, baseline=0.54):
     """Steady-state fused STEREO step FPS: detect both cameras + in-program
     row-gated disparity + depth-aware PnP, one dispatch per frame (KITTI
@@ -319,6 +372,11 @@ def bench_full_pipeline(num_features=2000, n_frames=64, frame_kw=None,
     # window, and the dense BA solve has a shape cliff above M=2048:
     # mf4096 24.28 fps -> mf2048 28.15 fps @ 0.794%% ATE on device).
     cfg.tracking.device_promotion = True
+    # heavy_every=3 measured 40 fps on a 16-frame short window
+    # (q_ladder_short_recovery.log) but COLLAPSES at sequence scale: the
+    # extra boundary staleness starves tracking mid-run (LOST + 18.8 s
+    # recovery compile, 7.54 fps @ 1.354%% ATE over 256 frames,
+    # benchlogs/q_ladder_heavy_long.log h3_long) — 2 stands.
     cfg.tracking.heavy_boundary_every = 2 if heavy_every is None else heavy_every
     cfg.tracking.upload_f16 = True
     cfg.optimization.max_points = 4096
@@ -975,6 +1033,12 @@ def main():
                     extra["track_step_mfu_pct_bf16peak"] = m
         except Exception as e:  # noqa: BLE001
             errors.append(f"track-flops: {str(e)[:120]}")
+
+    fps_chunk = run("vo_chunk8", bench_vo_chunk, imgs, K_np, num_features)
+    if fps_chunk is not None:
+        # Device throughput with relay submission amortized 8x; the gap to
+        # tracked_fps is per-dispatch relay overhead (VERDICT r4 #8).
+        extra["tracked_fps_chunk8"] = round(fps_chunk, 2)
 
     stereo = run("stereo", bench_stereo_step, K_np, num_features)
     if stereo is not None:
